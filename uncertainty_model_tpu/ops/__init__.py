@@ -1,0 +1,33 @@
+"""Numerics kernel layer.
+
+These are the hard-parity primitives identified in SURVEY.md §2.2: every op
+here is golden-tested against the corresponding torch op used by the
+reference (``F.grid_sample``, ``F.interpolate(align_corners=True)``,
+``AvgPool2d``, reflect/replicate padding, ``PixelShuffle``).
+
+All ops take NHWC arrays (TPU-native layout).
+"""
+
+from .resize import resize_bilinear, scale_pyramid
+from .warp import (
+    warp_by_disparity,
+    reconstruct_left_image,
+    reconstruct_right_image,
+    reconstruct_pyramid,
+)
+from .pool import avg_pool2d, global_avg_pool
+from .pad import pad2d
+from .shuffle import pixel_shuffle
+
+__all__ = [
+    "resize_bilinear",
+    "scale_pyramid",
+    "warp_by_disparity",
+    "reconstruct_left_image",
+    "reconstruct_right_image",
+    "reconstruct_pyramid",
+    "avg_pool2d",
+    "global_avg_pool",
+    "pad2d",
+    "pixel_shuffle",
+]
