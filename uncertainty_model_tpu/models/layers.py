@@ -1,0 +1,410 @@
+"""Layer zoo (flax.linen, NHWC).
+
+Numeric parity targets (reference file:line cited per class).  All modules
+are pure-functional; BatchNorm state lives in the ``batch_stats`` collection
+and synchronises across data-parallel shards automatically because the jitted
+step computes batch statistics over the *global* (mesh-sharded) batch — the
+TPU-native equivalent of the reference's SyncBatchNorm (parallel_main.py:157).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import avg_pool2d, global_avg_pool, pad2d, pixel_shuffle, resize_bilinear
+from .graph import GraphSpec
+
+# ---------------------------------------------------------------------------
+# Initialisers replicating torch defaults (for training-from-scratch fidelity;
+# parity tests bypass these by loading converted torch weights).
+# ---------------------------------------------------------------------------
+
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+def torch_fanin_uniform(fan_in: int):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch's default conv/linear bias
+    (and kaiming_uniform(a=sqrt(5)) linear weight) distribution."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Encoder blocks
+# ---------------------------------------------------------------------------
+
+
+class ConvBNELU(nn.Module):
+    """Zero-pad -> Conv -> BatchNorm -> ELU (reference model/layers/
+    encoder.py:21-52, ``ConvELUBlock``).
+
+    The symmetric zero padding of (k-1)//2 is folded into the conv's explicit
+    padding so XLA sees a single conv op.
+    """
+
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k = self.kernel_size
+        p = (k - 1) // 2
+        fan_in = x.shape[-1] * k * k
+        x = nn.Conv(
+            self.out_channels,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            kernel_init=xavier_uniform,
+            bias_init=torch_fanin_uniform(fan_in),
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+        return nn.elu(x)
+
+
+def _resize_reflect(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
+    """Reflect-pad spatial alignment (reference model/layers/encoder.py:92-113)."""
+    dh = target_h - x.shape[1]
+    dw = target_w - x.shape[2]
+    return pad2d(x, (dw // 2, dw - dw // 2, dh // 2, dh - dh // 2), mode="reflect")
+
+
+class NodeBlock(nn.Module):
+    """Per-DAG-node conv block (reference model/layers/encoder.py:55-127).
+
+    Input nodes downsample with a stride-2 conv; all other nodes keep the
+    resolution and use in_channels == out_channels.  Multi-input nodes blend
+    their inputs with a sigmoid-gated learnable weighted sum.
+
+    ``parity_weight_indexing`` replicates the reference's indexing quirk
+    (encoder.py:117-123): ``mean_weight[0]`` gates both the first *and*
+    second input, and the final weight is never used.  Set False for the
+    clean one-weight-per-input behaviour.
+    """
+
+    node: object  # graph.Node (static)
+    out_channels: int
+    kernel_size: int
+    parity_weight_indexing: bool = True
+
+    @nn.compact
+    def __call__(self, *inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        n_inputs = len(self.node.inputs)
+
+        if n_inputs > 1:
+            mean_weight = self.param(
+                "mean_weight", nn.initializers.ones, (n_inputs,)
+            )
+            gates = jax.nn.sigmoid(mean_weight)
+            out = gates[0] * inputs[0]
+            for i, x in enumerate(inputs[1:]):
+                if x.shape[1] != out.shape[1]:
+                    x = _resize_reflect(x, out.shape[1], out.shape[2])
+                idx = i if self.parity_weight_indexing else i + 1
+                out = out + gates[idx] * x
+        else:
+            out = inputs[0]
+
+        stride = 2 if self.node.node_type == "input" else 1
+        return ConvBNELU(
+            self.out_channels, self.kernel_size, stride=stride, name="conv_block"
+        )(out, train=train)
+
+
+class GraphBlock(nn.Module):
+    """Executes the DAG of NodeBlocks (reference model/layers/encoder.py:130-198).
+
+    The topology is static, so the Python loop unrolls at trace time into a
+    fixed XLA dataflow graph.
+    """
+
+    graph: GraphSpec
+    out_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        blocks = {
+            node.id: NodeBlock(
+                node, self.out_channels, self.kernel_size, name=f"node_{node.id}"
+            )
+            for node in self.graph.nodes
+        }
+
+        results: dict[int, jnp.ndarray] = {}
+        for idx in self.graph.in_nodes:
+            results[idx] = blocks[idx](x, train=train)
+
+        for node in self.graph.nodes:
+            if node.id in results:
+                continue
+            inputs = [results[i] for i in node.inputs]
+            results[node.id] = blocks[node.id](*inputs, train=train)
+
+        out = None
+        for idx in self.graph.out_nodes:
+            r = results[idx]
+            if out is None:
+                out = r
+                continue
+            if r.shape[1] != out.shape[1]:
+                r = _resize_reflect(r, out.shape[1], out.shape[2])
+            out = out + r
+
+        return out / len(self.graph.out_nodes)
+
+
+class EfficientAttention(nn.Module):
+    """Linear attention, O(N) in spatial tokens (Shen et al., arXiv:1812.01243;
+    reference model/layers/attention.py).
+
+    Per head: softmax over the keys' token axis and the queries' channel
+    axis; the (c_k x c_v) context matrix makes global attention over up to
+    32k tokens cheap.  All contractions are einsums -> MXU.
+    """
+
+    key_channels: int
+    value_channels: int
+    head_count: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        n = h * w
+        heads = self.head_count
+        ck = self.key_channels // heads
+        cv = self.value_channels // heads
+
+        def proj(features, name):
+            return nn.Conv(
+                features,
+                (1, 1),
+                kernel_init=xavier_uniform,
+                bias_init=torch_fanin_uniform(c),
+                name=name,
+            )(x).reshape(b, n, heads, features // heads)
+
+        keys = proj(self.key_channels, "keys")
+        queries = proj(self.key_channels, "queries")
+        values = proj(self.value_channels, "values")
+
+        keys = jax.nn.softmax(keys, axis=1)  # over tokens
+        queries = jax.nn.softmax(queries, axis=-1)  # over per-head channels
+
+        # context: (B, heads, ck, cv); attended: (B, n, heads, cv)
+        context = jnp.einsum("bnhk,bnhv->bhkv", keys, values)
+        attended = jnp.einsum("bhkv,bnhk->bnhv", context, queries)
+        attended = attended.reshape(b, h, w, heads * cv)
+
+        out = nn.Conv(
+            c,
+            (1, 1),
+            kernel_init=xavier_uniform,
+            bias_init=torch_fanin_uniform(self.value_channels),
+            name="reprojection",
+        )(attended)
+        return out + x
+
+
+class EncoderStage(nn.Module):
+    """GraphBlock + EfficientAttention (reference model/layers/encoder.py:201-262)."""
+
+    graph: GraphSpec
+    out_channels: int
+    kernel_size: int
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = GraphBlock(self.graph, self.out_channels, self.kernel_size, name="graph")(
+            x, train=train
+        )
+        return EfficientAttention(
+            self.out_channels, self.out_channels, self.heads, name="attention"
+        )(x)
+
+
+# ---------------------------------------------------------------------------
+# Decoder blocks
+# ---------------------------------------------------------------------------
+
+
+class ConvLayer(nn.Module):
+    """(Reflection|Zero)Pad -> Conv -> optional Sigmoid (reference
+    model/layers/decoder.py:11-52)."""
+
+    out_channels: int
+    padding: bool = True
+    reflection: bool = True
+    sigmoid: bool = False
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        fan_in = x.shape[-1] * k * k
+        if self.padding:
+            if self.reflection:
+                x = pad2d(x, (1, 1, 1, 1), mode="reflect")
+            else:
+                x = pad2d(x, (1, 1, 1, 1), mode="zeros")
+        x = nn.Conv(
+            self.out_channels,
+            (k, k),
+            padding="VALID",
+            kernel_init=xavier_uniform,
+            bias_init=torch_fanin_uniform(fan_in),
+            name="conv",
+        )(x)
+        if self.sigmoid:
+            x = jax.nn.sigmoid(x)
+        return x
+
+
+class DecoderConvELU(nn.Module):
+    """ConvLayer -> optional BatchNorm -> ELU (reference
+    model/layers/decoder.py:55-87)."""
+
+    out_channels: int
+    padding: bool = True
+    kernel_size: int = 3
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = ConvLayer(
+            self.out_channels, padding=self.padding, kernel_size=self.kernel_size,
+            name="conv_layer",
+        )(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            )(x)
+        return nn.elu(x)
+
+
+class SELayer(nn.Module):
+    """Squeeze-excitation channel attention (reference
+    model/layers/decoder.py:90-136)."""
+
+    channels: int
+    reduction: int = 16
+    fc: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        reduced = self.channels // self.reduction
+        squeezed = global_avg_pool(x)  # (B, C)
+
+        if self.fc:
+            init = torch_fanin_uniform(self.channels)
+            s = nn.Dense(reduced, use_bias=False, kernel_init=init, name="fc1")(squeezed)
+            s = nn.relu(s)
+            s = nn.Dense(
+                self.channels, use_bias=False,
+                kernel_init=torch_fanin_uniform(reduced), name="fc2",
+            )(s)
+        else:
+            s = squeezed[:, None, None, :]
+            s = nn.Conv(reduced, (1, 1), name="conv1")(s)
+            s = nn.relu(s)
+            s = nn.Conv(self.channels, (1, 1), name="conv2")(s)
+            s = s[:, 0, 0, :]
+
+        s = jax.nn.sigmoid(s)
+        return x * s[:, None, None, :]
+
+
+class DecoderStage(nn.Module):
+    """One decoder stage: pixel-shuffle upsample, squeeze-excite skip fusion,
+    iconv and optional sigmoid disparity head (reference
+    model/layers/decoder.py:139-249).
+
+    Field names match the reference constructor kwargs so ``config.yml``
+    entries **-unpack directly.
+    """
+
+    in_channels: int
+    feature_in_channels: int
+    skip_in_channels: int
+    upsample_channels: int
+    out_channels: int
+    skip_out_channels: int
+    disp_channels: int = 2
+    batch_norm: bool = True
+    fc: bool = True
+    scale: int = 2
+    concat_disp: bool = True
+    calculate_disp: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        feature_map: jnp.ndarray,
+        skip: jnp.ndarray,
+        disparity: Optional[jnp.ndarray] = None,
+        disp_scale: float = 1.0,
+        train: bool = False,
+    ):
+        r = self.scale
+
+        skip = resize_bilinear(skip, (skip.shape[1] * r, skip.shape[2] * r))
+        skip = DecoderConvELU(
+            self.skip_out_channels, kernel_size=1, batch_norm=True, padding=False,
+            name="se_conv",
+        )(jnp.concatenate([feature_map, skip], axis=-1), train=train)
+        skip = SELayer(self.skip_out_channels, fc=self.fc, name="se")(skip)
+
+        x_up = DecoderConvELU(
+            self.upsample_channels * r * r, batch_norm=self.batch_norm,
+            name="upsample_conv",
+        )(x, train=train)
+        x_up = pixel_shuffle(x_up, r)
+
+        x_concat = jnp.concatenate([x_up, skip], axis=-1)
+
+        if self.concat_disp:
+            disparity = resize_bilinear(
+                disparity, (disparity.shape[1] * r, disparity.shape[2] * r)
+            )
+            x_concat = jnp.concatenate([x_concat, disparity], axis=-1)
+
+        out = DecoderConvELU(
+            self.out_channels, batch_norm=self.batch_norm, name="iconv"
+        )(x_concat, train=train)
+
+        disp = None
+        if self.calculate_disp:
+            disp = disp_scale * ConvLayer(
+                self.disp_channels, sigmoid=True, name="disp"
+            )(out)
+
+        return out, skip, disp
+
+
+__all__ = [
+    "ConvBNELU",
+    "NodeBlock",
+    "GraphBlock",
+    "EfficientAttention",
+    "EncoderStage",
+    "ConvLayer",
+    "DecoderConvELU",
+    "SELayer",
+    "DecoderStage",
+    "avg_pool2d",
+]

@@ -1,0 +1,32 @@
+"""Full randomly-connected model (reference model/model.py).
+
+``RandomlyConnectedModel.from_config(**config['model'])`` keeps the exact
+kwargs surface of the reference so the same ``config.yml`` constructs it
+(reference main.py:107).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .decoder import DepthDecoder
+from .encoder import RandomEncoder
+
+
+class RandomlyConnectedModel(nn.Module):
+    encoder: RandomEncoder
+    decoder: DepthDecoder
+
+    @classmethod
+    def from_config(cls, encoder: dict, decoder: dict) -> "RandomlyConnectedModel":
+        return cls(
+            encoder=RandomEncoder.from_config(**encoder),
+            decoder=DepthDecoder.from_config(**decoder),
+        )
+
+    def __call__(
+        self, image: jnp.ndarray, disp_scale: float = 1.0, train: bool = False
+    ) -> tuple[jnp.ndarray, ...]:
+        encodings = self.encoder(image, train=train)
+        return self.decoder(image, *encodings, disp_scale=disp_scale, train=train)
