@@ -16,3 +16,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ.get("UMT_TEST_PLATFORM", "cpu"))
+
+# Persistent compilation cache: the train-step compile is ~1 min on CPU;
+# cached re-runs are seconds.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,92 @@
+"""Golden parity: sparsification curves / AUSE / AURG vs the reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uncertainty_model_tpu.train import sparsification as spars
+
+from reference_harness import import_reference
+
+ref = pytest.importorskip("reference_harness").import_reference()
+torch = pytest.importorskip("torch")
+
+
+def _rand(*shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(size=shape).astype(np.float32)
+
+
+def _t(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
+
+
+class TestSparsification:
+    def test_curve_matches_reference(self):
+        oracle = _rand(2, 24, 32, 2, seed=0)
+        predicted = _rand(2, 24, 32, 2, seed=1)
+
+        expected = ref.sparsification.curve(_t(oracle), _t(predicted), kernel_size=11)
+        got = spars.curve(jnp.asarray(oracle), jnp.asarray(predicted), kernel_size=11)
+        # cumsum-based sweep accumulates slightly differently from the
+        # reference's 100 slice means; 2e-4 is far below metric noise
+        np.testing.assert_allclose(np.asarray(got), expected.numpy(), atol=2e-4)
+
+    def test_oracle_curve_is_monotone_decreasing(self):
+        oracle = _rand(1, 24, 32, 2, seed=2)
+        c = np.asarray(spars.curve(jnp.asarray(oracle), jnp.asarray(oracle)))
+        assert c[0] == pytest.approx(1.0, abs=1e-5)
+        assert np.all(np.diff(c) <= 1e-6)
+
+    def test_ause_aurg_match_reference(self):
+        oracle = _rand(2, 24, 32, 2, seed=3)
+        predicted = _rand(2, 24, 32, 2, seed=4)
+
+        exp_oracle = ref.sparsification.curve(_t(oracle), _t(oracle))
+        exp_pred = ref.sparsification.curve(_t(oracle), _t(predicted))
+        exp_ause = ref.sparsification.ause(exp_oracle, exp_pred)
+
+        got_oracle = spars.curve(jnp.asarray(oracle), jnp.asarray(oracle))
+        got_pred = spars.curve(jnp.asarray(oracle), jnp.asarray(predicted))
+        got_ause = spars.ause(got_oracle, got_pred)
+
+        np.testing.assert_allclose(float(got_ause), float(exp_ause), atol=1e-5)
+
+    def test_random_curve_sane(self):
+        oracle = jnp.asarray(_rand(1, 24, 32, 2, seed=5))
+        c = spars.random_curve(oracle, jax.random.PRNGKey(0))
+        assert c.shape == (100,)
+        # random removal keeps the normalised mean near 1 throughout
+        assert np.allclose(np.asarray(c), 1.0, atol=0.2)
+
+    def test_mismatched_curves_raise(self):
+        with pytest.raises(ValueError):
+            spars.ause(jnp.zeros(100), jnp.zeros(50))
+
+
+class TestSchedules:
+    def test_disparity_curriculum_matches_reference(self):
+        from uncertainty_model_tpu.utils.schedules import adjust_disparity
+
+        for epoch in range(0, 120):
+            assert adjust_disparity(epoch) == pytest.approx(
+                float(ref.utils.adjust_disparity(epoch)), abs=1e-9
+            ), f"epoch {epoch}"
+
+    def test_learning_rate_schedule_matches_reference(self):
+        import torch as t
+
+        from uncertainty_model_tpu.utils.schedules import learning_rate_for_epoch
+
+        param = t.nn.Parameter(t.zeros(1))
+        opt = t.optim.Adam([param], lr=1e-4)
+        for epoch in [0, 10, 30, 31, 40, 41, 100]:
+            ref.utils.adjust_learning_rate(opt, epoch, 1e-4)
+            expected = opt.param_groups[0]["lr"]
+            assert learning_rate_for_epoch(epoch, 1e-4) == pytest.approx(expected)
+        ref.utils.adjust_learning_rate(opt, 0, 1e-4, finetune=True)
+        assert learning_rate_for_epoch(0, 1e-4, finetune=True) == pytest.approx(
+            opt.param_groups[0]["lr"]
+        )

@@ -1,0 +1,56 @@
+"""Multi-host / multi-chip training CLI (reference parallel_main.py).
+
+The reference spawns one NCCL process per GPU on a single node
+(parallel_main.py:265-279) and rejects multi-node outright (:267-268).
+The TPU-native replacement:
+
+* Single host, many chips: the plain CLI already shards the batch over all
+  local devices — nothing extra to do.
+* Multi-host (a pod slice or multi-slice): launch this same script once per
+  host; ``jax.distributed.initialize`` performs the rendezvous (the env://
+  analogue of parallel_main.py:86-87), every host loads its shard of the
+  data (the DistributedSampler analogue) and the jitted step runs one global
+  program over the full mesh — gradients and BN stats reduce over ICI/DCN
+  automatically.
+
+Extra flags over the serial CLI::
+
+    --coordinator-address host:port   rendezvous (like MASTER_ADDR/PORT)
+    --num-processes N                 world size in hosts
+    --process-id I                    this host's rank
+    --init-seed S                     model init seed (same on all hosts)
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .main import build_parser, main as serial_main
+
+
+def build_parallel_parser() -> argparse.ArgumentParser:
+    parser = build_parser()
+    parser.add_argument("--coordinator-address", default=None, type=str,
+                        help="host:port of process 0 (multi-host only).")
+    parser.add_argument("--num-processes", default=1, type=int)
+    parser.add_argument("--process-id", default=0, type=int)
+    parser.add_argument("--init-seed", default=0, type=int)
+    return parser
+
+
+def main(args: argparse.Namespace) -> None:
+    if args.num_processes > 1:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    args.seed = args.init_seed
+    serial_main(args)
+
+
+if __name__ == "__main__":
+    main(build_parallel_parser().parse_args())

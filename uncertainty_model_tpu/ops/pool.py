@@ -16,7 +16,10 @@ def avg_pool2d(x: jnp.ndarray, kernel_size: int, stride: int = 1) -> jnp.ndarray
     """Valid average pooling over H, W of an NHWC array."""
     window = (1, kernel_size, kernel_size, 1)
     strides = (1, stride, stride, 1)
-    summed = lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add, window, strides, "VALID")
+    # init must be a literal zero for XLA's differentiable sum pattern
+    import numpy as np
+
+    summed = lax.reduce_window(x, np.zeros((), x.dtype)[()], lax.add, window, strides, "VALID")
     return summed / (kernel_size * kernel_size)
 
 

@@ -1,0 +1,350 @@
+"""Training runtime: jitted data-parallel train step + epoch loop.
+
+TPU-native redesign of reference train/train.py:
+
+* One jitted ``train_step`` (forward, 4-scale pyramid, stereo warp, composite
+  loss, backward, Adam update — and the discriminator's step when
+  adversarial) compiled once; the disparity-scale curriculum, learning rate
+  and batch index enter as traced scalars so schedules never recompile.
+* The global batch is sharded over the mesh's ``data`` axis; GSPMD inserts
+  gradient all-reduces (DDP equivalent) and global-batch BN statistics
+  (SyncBatchNorm equivalent, parallel_main.py:156-170) automatically.
+* The perceptual loss's lagged discriminator (the reference's ``disc_clone``
+  deep-copy refreshed every 10 batches, train/train.py:107,151-152) is a
+  parameter copy refreshed with a ``jnp.where`` inside the step.
+* Adam is ``optax.scale_by_adam`` with the learning rate applied as a traced
+  multiplier (torch.optim.Adam parity: eps after the bias-corrected sqrt).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses import TukraUncertaintyLoss, discriminator_loss
+from ..ops import reconstruct_pyramid, scale_pyramid
+from ..parallel.mesh import create_mesh, replicate_tree, shard_batch
+from ..utils.schedules import adjust_disparity, learning_rate_for_epoch
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    disc_params: Any = None
+    disc_batch_stats: Any = None
+    disc_opt_state: Any = None
+    disc_lag_params: Any = None  # lagged copy for generator/perceptual loss
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        loss_config: Optional[dict] = None,
+        disc=None,
+        mesh=None,
+        scales: int = 4,
+        perceptual_update_freq: int = 10,
+    ) -> None:
+        self.model = model
+        self.disc = disc
+        self.loss = TukraUncertaintyLoss(**(loss_config or {}))
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.scales = scales
+        self.perceptual_update_freq = perceptual_update_freq
+        self.tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # Initialisation
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, input_shape=(1, 256, 512, 3)) -> TrainState:
+        model_rng, disc_rng = jax.random.split(rng)
+        variables = self.model.init(
+            model_rng, jnp.zeros(input_shape, jnp.float32), disp_scale=1.0
+        )
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        opt_state = self.tx.init(params)
+
+        disc_params = disc_batch_stats = disc_opt_state = disc_lag = None
+        if self.disc is not None:
+            h, w = input_shape[1], input_shape[2]
+            pyramid = [
+                jnp.zeros((1, h // 2**i, w // 2**i, 6), jnp.float32)
+                for i in range(self.scales)
+            ]
+            disc_vars = self.disc.init(disc_rng, pyramid)
+            disc_params = disc_vars["params"]
+            disc_batch_stats = disc_vars["batch_stats"]
+            disc_opt_state = self.tx.init(disc_params)
+            disc_lag = jax.tree.map(jnp.copy, disc_params)
+
+        state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            disc_params=disc_params,
+            disc_batch_stats=disc_batch_stats,
+            disc_opt_state=disc_opt_state,
+            disc_lag_params=disc_lag,
+        )
+        return replicate_tree(state, self.mesh)
+
+    def load_state(self, variables: dict, disc_variables: Optional[dict] = None) -> TrainState:
+        """Build a TrainState from converted/restored variables (finetune
+        path, reference main.py:126-137)."""
+        params = variables["params"]
+        state = TrainState(
+            params=params,
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(params),
+            disc_params=disc_variables["params"] if disc_variables else None,
+            disc_batch_stats=disc_variables["batch_stats"] if disc_variables else None,
+            disc_opt_state=self.tx.init(disc_variables["params"]) if disc_variables else None,
+            disc_lag_params=jax.tree.map(jnp.copy, disc_variables["params"])
+            if disc_variables
+            else None,
+        )
+        return replicate_tree(state, self.mesh)
+
+    # ------------------------------------------------------------------
+    # The jitted step
+    # ------------------------------------------------------------------
+
+    def _apply_disc(self, params, batch_stats, pyramid, method=None):
+        """Train-mode discriminator apply; batch-stat mutations are returned
+        so the caller decides whether to keep them (the lagged clone's are
+        discarded, like the reference's disc_clone)."""
+        out, mutated = self.disc.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pyramid,
+            train=True,
+            mutable=["batch_stats"],
+            method=method,
+        )
+        return out, mutated["batch_stats"]
+
+    def _train_step_impl(self, state: TrainState, batch, disp_scale, lr, step_idx):
+        images = jnp.concatenate([batch["left"], batch["right"]], axis=-1)
+        image_pyramid = scale_pyramid(images, self.scales)
+        batch_size = batch["left"].shape[0]
+
+        adversarial = self.disc is not None
+
+        def loss_fn(params):
+            disparities, mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["left"],
+                disp_scale=disp_scale,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            recon_pyramid = reconstruct_pyramid(disparities, image_pyramid)
+
+            disc_apply = disc_features = None
+            if adversarial:
+                def disc_apply(pyr):
+                    out, _ = self._apply_disc(
+                        state.disc_lag_params, state.disc_batch_stats, pyr
+                    )
+                    return out
+
+                def disc_features(pyr):
+                    out, _ = self._apply_disc(
+                        state.disc_lag_params, state.disc_batch_stats, pyr,
+                        method="features",
+                    )
+                    return out
+
+            disp_loss, error_loss = self.loss(
+                image_pyramid, disparities, recon_pyramid,
+                step=step_idx, disc_apply=disc_apply, disc_features=disc_features,
+            )
+            total = disp_loss + error_loss
+            aux = (mutated["batch_stats"], disp_loss, error_loss, recon_pyramid)
+            return total, aux
+
+        grads, (new_batch_stats, disp_loss, error_loss, recon_pyramid) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+
+        metrics = {"disp_loss": disp_loss, "error_loss": error_loss}
+        new_state = state.replace(
+            params=new_params, batch_stats=new_batch_stats, opt_state=new_opt_state
+        )
+
+        if adversarial:
+            def disc_loss_fn(disc_params):
+                stats_box = {}
+
+                def disc_apply_train(pyr):
+                    out, new_stats = self._apply_disc(
+                        disc_params, state.disc_batch_stats, pyr
+                    )
+                    stats_box["batch_stats"] = new_stats
+                    return out
+
+                loss = discriminator_loss(
+                    image_pyramid, recon_pyramid, disc_apply_train, batch_size
+                )
+                return loss, stats_box["batch_stats"]
+
+            (disc_loss, new_disc_stats), disc_grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True
+            )(state.disc_params)
+
+            disc_updates, new_disc_opt = self.tx.update(
+                disc_grads, state.disc_opt_state, state.disc_params
+            )
+            disc_updates = jax.tree.map(lambda u: -lr * u, disc_updates)
+            new_disc_params = optax.apply_updates(state.disc_params, disc_updates)
+
+            refresh = (step_idx % self.perceptual_update_freq) == 0
+            new_lag = _tree_where(refresh, new_disc_params, state.disc_lag_params)
+
+            metrics["disc_loss"] = disc_loss
+            new_state = new_state.replace(
+                disc_params=new_disc_params,
+                disc_batch_stats=new_disc_stats,
+                disc_opt_state=new_disc_opt,
+                disc_lag_params=new_lag,
+            )
+
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    # Epoch loops (host side)
+    # ------------------------------------------------------------------
+
+    def train_one_epoch(
+        self,
+        state: TrainState,
+        loader,
+        disp_scale: float,
+        lr: float,
+        epoch_number: Optional[int] = None,
+        log_every: int = 0,
+        progress: Optional[Callable[[dict], None]] = None,
+    ):
+        """One pass over the loader (reference train/train.py:51-170).
+
+        Returns (state, per-image average losses dict).
+        """
+        running = {"disp_loss": 0.0, "error_loss": 0.0, "disc_loss": 0.0}
+        n_images = 0
+        averages = {}
+
+        for i, batch in enumerate(loader):
+            sharded = shard_batch(batch, self.mesh)
+            state, metrics = self._train_step(
+                state, sharded, jnp.float32(disp_scale), jnp.float32(lr), jnp.int32(i)
+            )
+
+            n_images += batch["left"].shape[0]
+            metrics = jax.device_get(metrics)
+            for key in ("disp_loss", "error_loss", "disc_loss"):
+                if key in metrics:
+                    running[key] += float(metrics[key])
+            averages = {
+                "disp": running["disp_loss"] / n_images,
+                "unc": running["error_loss"] / n_images,
+                "disc": running["disc_loss"] / n_images if self.disc else None,
+                "scale": disp_scale,
+            }
+            if progress is not None:
+                progress({"batch": i, **averages})
+            elif log_every and (i + 1) % log_every == 0:
+                print(
+                    f"Epoch #{epoch_number} [{i + 1}/{len(loader)}] "
+                    f"disp={averages['disp']:.2e} unc={averages['unc']:.2e}"
+                )
+
+        return state, averages
+
+    def train_model(
+        self,
+        state: TrainState,
+        loader,
+        epochs: int,
+        learning_rate: float,
+        val_loader=None,
+        evaluate_every: Optional[int] = None,
+        save_evaluation_to: Optional[str] = None,
+        save_every: Optional[int] = None,
+        save_model_to: Optional[str] = None,
+        finetune: bool = False,
+        no_pbar: bool = False,
+        process_index: int = 0,
+    ):
+        """Multi-epoch training (reference train/train.py:173-267)."""
+        from .checkpoint import save_checkpoint
+        from .evaluate import evaluate_model
+
+        training_losses = []
+        validation_metrics = []
+
+        for epoch in range(epochs):
+            lr = learning_rate_for_epoch(epoch, learning_rate, finetune)
+            disp_scale = 1.0 if finetune else adjust_disparity(epoch)
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
+
+            t0 = time.time()
+            state, averages = self.train_one_epoch(
+                state, loader, disp_scale, lr, epoch_number=epoch + 1,
+                log_every=0 if no_pbar else 10,
+            )
+            if process_index == 0:
+                training_losses.append(
+                    (averages.get("disp"), averages.get("unc"), averages.get("disc"))
+                )
+                print(
+                    f"Epoch #{epoch + 1}:"
+                    f"\n\tdisparity loss: {averages['disp']:.2e}"
+                    f"\n\tuncertainty loss: {averages['unc']:.2e}"
+                    f"\n\tdisparity scale: {disp_scale:.2f}"
+                    f"\n\ttime: {time.time() - t0:.1f}s"
+                )
+
+            if evaluate_every is not None and (epoch + 1) % evaluate_every == 0:
+                metrics = evaluate_model(
+                    self.model, state, val_loader,
+                    save_evaluation_to=save_evaluation_to,
+                    epoch_number=epoch + 1, is_final=False, scale=disp_scale,
+                    mesh=self.mesh, process_index=process_index,
+                )
+                if process_index == 0:
+                    validation_metrics.append(metrics)
+
+            if (
+                save_every is not None
+                and (epoch + 1) % save_every == 0
+                and process_index == 0
+                and save_model_to is not None
+            ):
+                save_checkpoint(save_model_to, state, epoch_number=epoch + 1)
+
+        if process_index == 0:
+            print("Training completed.")
+            if save_model_to is not None:
+                save_checkpoint(save_model_to, state, is_final=True)
+
+        return state, training_losses, validation_metrics
