@@ -7,8 +7,14 @@ Prints ONE JSON line:
      "vs_baseline": N / 2000.0}
 
 Measures the flagship 22.5M-param model's jitted forward (full-resolution
-4-channel disparity+uncertainty output) on one chip, best-of batch sizes,
-bfloat16 matmuls with float32 params/IO.
+4-channel disparity+uncertainty output), bfloat16 matmuls with float32 IO.
+
+Timing methodology: this environment reaches the chip through a tunnel where
+``block_until_ready`` is not a reliable barrier and host<->device transfers
+carry ~30ms latency.  We therefore run K forward passes inside ONE compiled
+program (a sequential ``lax.fori_loop`` whose carry consumes each output),
+fetch a single scalar to force completion, and report the slope between two
+loop lengths — eliminating both dispatch latency and transfer cost.
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ import time
 def bench() -> dict:
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from __graft_entry__ import _load_config
     from uncertainty_model_tpu.models import RandomlyConnectedModel
@@ -32,26 +39,33 @@ def bench() -> dict:
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 512, 3)), disp_scale=1.0
     )
 
+    batch = 32
+
     @jax.jit
-    def forward(variables, image):
-        return model.apply(variables, image, disp_scale=1.0)[0]
+    def run(variables, x, k):
+        # dynamic loop bound -> ONE compile serves every k
+        def body(i, carry):
+            x_c, acc = carry
+            out = model.apply(variables, x_c, disp_scale=1.0)[0]
+            return (x_c, acc + jnp.mean(out))
 
-    best_fps = 0.0
-    for batch in (8, 16, 32):
-        x = jnp.zeros((batch, 256, 512, 3), jnp.float32)
-        # compile + warmup
-        jax.block_until_ready(forward(variables, x))
-        jax.block_until_ready(forward(variables, x))
+        _, acc = lax.fori_loop(0, k, body, (x, jnp.float32(0)))
+        return acc
 
-        n_iters = 10
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = forward(variables, x)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+    x = jnp.full((batch, 256, 512, 3), 0.5, jnp.float32)
+    float(run(variables, x, 1))  # compile + warm
 
-        fps = batch * n_iters / dt
-        best_fps = max(best_fps, fps)
+    def timed(k, reps=2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(variables, x, k))  # scalar fetch = completion barrier
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k_short, k_long = 2, 12
+    per_pass = (timed(k_long) - timed(k_short)) / (k_long - k_short)
+    best_fps = batch / per_pass if per_pass > 0 else 0.0
 
     return {
         "metric": "inference_fps_per_chip",

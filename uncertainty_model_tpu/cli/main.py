@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--precision", default="float32",
                         choices=["float32", "bfloat16"],
                         help="Matmul/conv precision on device.")
+    parser.add_argument("--data-backend", default="auto",
+                        choices=["auto", "native", "pil"],
+                        help="Image decode path: native C++ (libpng + thread "
+                             "pool) or PIL; auto prefers native when built.")
+    parser.add_argument("--profile-dir", default=None, type=str,
+                        help="Write a jax.profiler trace of epoch 0 here "
+                             "(view with TensorBoard).")
     return parser
 
 
@@ -116,11 +123,13 @@ def main(args: argparse.Namespace) -> None:
     per_host_batch = args.batch_size // jax.process_count()
     train_loader = DataLoader(train_dataset, per_host_batch, shuffle=True,
                               seed=args.seed, num_workers=args.workers,
-                              drop_last=True,
+                              drop_last=True, backend=args.data_backend,
                               shard_index=jax.process_index(),
                               num_shards=jax.process_count())
+    # eval keeps partial batches (at most one extra compile for the remainder)
     val_loader = DataLoader(val_dataset, per_host_batch, shuffle=False,
-                            num_workers=args.workers, drop_last=True,
+                            num_workers=args.workers, drop_last=False,
+                            backend=args.data_backend,
                             shard_index=jax.process_index(),
                             num_shards=jax.process_count())
 
@@ -178,6 +187,7 @@ def main(args: argparse.Namespace) -> None:
         finetune=(args.finetune_from is not None),
         no_pbar=args.no_pbar,
         process_index=jax.process_index(),
+        profile_dir=args.profile_dir,
     )
 
     if results_directory is not None and jax.process_index() == 0:

@@ -35,6 +35,7 @@ class DataLoader:
         drop_last: bool = False,
         shard_index: int = 0,
         num_shards: int = 1,
+        backend: str = "auto",  # 'auto' | 'native' | 'pil'
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,6 +47,8 @@ class DataLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.epoch = 0
+        self.backend = backend
+        self._native_size = self._native_decode_size() if backend != "pil" else None
 
     def set_epoch(self, epoch: int) -> None:
         """Reseed the shuffle order (DistributedSampler.set_epoch analogue)."""
@@ -64,6 +67,69 @@ class DataLoader:
             rng = np.random.default_rng((self.seed, self.epoch))
             order = rng.permutation(n)
         return order[self.shard_index :: self.num_shards]
+
+    def _native_decode_size(self):
+        """When the transform is a standard Compose whose first stage is a
+        ResizeImage, the native C++ decoder can fuse decode+resize+to-float;
+        the remaining transforms run on arrays with the same RNG draw order
+        as the PIL path (bit-identical augmentations)."""
+        from .transforms import Compose, ResizeImage, ToArray
+
+        transform = getattr(self.dataset, "transform", None)
+        if not isinstance(transform, Compose) or not transform.transforms:
+            return None
+        first = transform.transforms[0]
+        if not isinstance(first, ResizeImage):
+            return None
+        for t in transform.transforms[1:]:
+            if isinstance(t, (ResizeImage, ToArray)):
+                continue
+            if not hasattr(t, "probability"):  # unknown transform: PIL path
+                return None
+        if self.backend == "native":
+            return first.size
+        try:
+            from .native import native_available
+
+            return first.size if native_available() else None
+        except Exception:
+            return None
+
+    def _apply_post_decode(self, left: np.ndarray, right: np.ndarray,
+                           rng: np.random.Generator) -> dict:
+        """Replay the transform stack on decoded arrays, drawing RNG in the
+        same order as the PIL path (flip before augment)."""
+        from .transforms import Compose, RandomAugment, RandomFlip, ResizeImage, ToArray
+
+        transform: Compose = self.dataset.transform
+        pair = {"left": left, "right": right}
+        for t in transform.transforms:
+            if isinstance(t, (ResizeImage, ToArray)):
+                continue
+            if isinstance(t, RandomFlip):
+                if rng.random() < t.probability:
+                    pair = {
+                        "left": np.ascontiguousarray(pair["left"][:, ::-1]),
+                        "right": np.ascontiguousarray(pair["right"][:, ::-1]),
+                    }
+            elif isinstance(t, RandomAugment):
+                pair = t(pair, rng)
+        return pair
+
+    def _native_batch(self, batch_ids, rngs) -> dict:
+        from .native import decode_resize_batch
+
+        h, w = self._native_size
+        paths = [self.dataset.lefts[int(i)] for i in batch_ids] + \
+            [self.dataset.rights[int(i)] for i in batch_ids]
+        decoded = decode_resize_batch(paths, h, w, num_threads=self.num_workers)
+        n = len(batch_ids)
+        lefts, rights = [], []
+        for j, rng in enumerate(rngs):
+            pair = self._apply_post_decode(decoded[j], decoded[n + j], rng)
+            lefts.append(pair["left"])
+            rights.append(pair["right"])
+        return {"left": np.stack(lefts), "right": np.stack(rights)}
 
     def __iter__(self) -> Iterator[dict]:
         indices = self._shard_indices()
@@ -86,13 +152,14 @@ class DataLoader:
                         np.random.default_rng((self.seed, self.epoch, int(i)))
                         for i in batch_ids
                     ]
-                    samples = list(
-                        pool.map(self._fetch_one, batch_ids, rngs)
-                    )
-                    batch = {
-                        "left": np.stack([s["left"] for s in samples]),
-                        "right": np.stack([s["right"] for s in samples]),
-                    }
+                    if self._native_size is not None:
+                        batch = self._native_batch(batch_ids, rngs)
+                    else:
+                        samples = list(pool.map(self._fetch_one, batch_ids, rngs))
+                        batch = {
+                            "left": np.stack([s["left"] for s in samples]),
+                            "right": np.stack([s["right"] for s in samples]),
+                        }
                     out_q.put(batch)
             out_q.put(None)
 

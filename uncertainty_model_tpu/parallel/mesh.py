@@ -58,7 +58,15 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(sharding, x), batch
         )
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    def put(x):
+        # a partial final batch that doesn't divide the mesh (eval only)
+        # falls back to replication — one extra compile, correct numerics
+        if x.shape[0] % mesh.size != 0:
+            return jax.device_put(x, replicated(mesh))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate_tree(tree, mesh: Mesh):

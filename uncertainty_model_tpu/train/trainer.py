@@ -293,8 +293,13 @@ class Trainer:
         finetune: bool = False,
         no_pbar: bool = False,
         process_index: int = 0,
+        profile_dir: Optional[str] = None,
     ):
-        """Multi-epoch training (reference train/train.py:173-267)."""
+        """Multi-epoch training (reference train/train.py:173-267).
+
+        ``profile_dir``: write a jax.profiler trace of the first epoch
+        (the reference has no profiler at all, SURVEY.md §5).
+        """
         from .checkpoint import save_checkpoint
         from .evaluate import evaluate_model
 
@@ -302,6 +307,8 @@ class Trainer:
         validation_metrics = []
 
         for epoch in range(epochs):
+            if profile_dir is not None and epoch == 0:
+                jax.profiler.start_trace(profile_dir)
             lr = learning_rate_for_epoch(epoch, learning_rate, finetune)
             disp_scale = 1.0 if finetune else adjust_disparity(epoch)
             if hasattr(loader, "set_epoch"):
@@ -312,6 +319,9 @@ class Trainer:
                 state, loader, disp_scale, lr, epoch_number=epoch + 1,
                 log_every=0 if no_pbar else 10,
             )
+            if profile_dir is not None and epoch == 0:
+                jax.tree.map(lambda x: x.block_until_ready(), state.params)
+                jax.profiler.stop_trace()
             if process_index == 0:
                 training_losses.append(
                     (averages.get("disp"), averages.get("unc"), averages.get("disc"))
