@@ -108,9 +108,9 @@ class TestTrainingStepParity:
             scale = np.linalg.norm(theirs)
             # Deep-network f32 accumulation puts honest gradients within
             # ~1e-3 relative; heavily-cancelling scalar reductions (the
-            # NodeBlock mean_weights) carry absolute noise ~1e-2 in BOTH
-            # frameworks, hence the absolute floor.
-            assert diff < max(2e-2 * scale, 2e-2), (
+            # NodeBlock mean_weights, which BN makes near-scale-invariant)
+            # carry absolute f32 noise in BOTH frameworks, hence the floor.
+            assert diff < max(5e-3 * scale, 5e-3), (
                 f"grad mismatch at {jax.tree_util.keystr(path)}: "
                 f"|diff|={diff:.3e} |ref|={scale:.3e}"
             )

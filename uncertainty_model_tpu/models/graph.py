@@ -35,16 +35,21 @@ class GraphSpec(NamedTuple):
     out_nodes: tuple[int, ...]
 
 
-def graph_spec_from_edges(num_nodes: int, edges: Sequence[tuple[int, int]]) -> GraphSpec:
-    """Build a :class:`GraphSpec` from an undirected edge list."""
-    neighbours: dict[int, set[int]] = {i: set() for i in range(num_nodes)}
-    for u, v in edges:
-        neighbours[u].add(v)
-        neighbours[v].add(u)
+def graph_spec_from_adjacency(adjacency: Sequence[Sequence[int]]) -> GraphSpec:
+    """Build a :class:`GraphSpec` from ordered per-node neighbour lists.
 
+    ⚠ Neighbour ORDER is semantic, not cosmetic: a multi-input node pairs its
+    k-th lower-index neighbour with its k-th ``mean_weight`` gate (reference
+    model/graph.py:36 keeps the networkx adjacency order, which is insertion
+    order — NOT sorted; e.g. the reference's stage graphs give node 3 the
+    inputs ``[2, 1, 0]``).  Sorting here would silently re-pair gates with
+    inputs: identical forward at init (all gates equal) but wrong gradients
+    and wrong trained-checkpoint semantics.
+    """
+    num_nodes = len(adjacency)
     nodes, ins, outs = [], [], []
     for i in range(num_nodes):
-        nbrs = neighbours[i]
+        nbrs = list(adjacency[i])
         node_type = "intermediate"
         if i < min(nbrs):
             ins.append(i)
@@ -52,9 +57,30 @@ def graph_spec_from_edges(num_nodes: int, edges: Sequence[tuple[int, int]]) -> G
         elif i > max(nbrs):
             outs.append(i)
             node_type = "output"
-        nodes.append(Node(i, node_type, tuple(sorted(n for n in nbrs if n < i))))
+        nodes.append(Node(i, node_type, tuple(n for n in nbrs if n < i)))
 
     return GraphSpec(tuple(nodes), tuple(ins), tuple(outs))
+
+
+def graph_spec_from_nx(graph) -> GraphSpec:
+    """Build a :class:`GraphSpec` from a networkx Graph, preserving its
+    adjacency (insertion) order exactly like reference model/graph.py:11-38."""
+    return graph_spec_from_adjacency(
+        [list(graph.neighbors(i)) for i in range(graph.number_of_nodes())]
+    )
+
+
+def graph_spec_from_edges(num_nodes: int, edges: Sequence[tuple[int, int]]) -> GraphSpec:
+    """Build a :class:`GraphSpec` from an undirected edge list, reproducing
+    networkx insertion-order adjacency (edge (u, v) appends v to u's list and
+    u to v's)."""
+    adjacency: list[list[int]] = [[] for _ in range(num_nodes)]
+    for u, v in edges:
+        if v not in adjacency[u]:
+            adjacency[u].append(v)
+        if u not in adjacency[v]:
+            adjacency[v].append(u)
+    return graph_spec_from_adjacency(adjacency)
 
 
 def build_graph_spec(nodes: int, k: int, p: float, seed: Optional[int] = None) -> GraphSpec:
@@ -62,23 +88,32 @@ def build_graph_spec(nodes: int, k: int, p: float, seed: Optional[int] = None) -
     import networkx as nx
 
     g = nx.connected_watts_strogatz_graph(nodes, k, p, seed=seed)
-    return graph_spec_from_edges(g.number_of_nodes(), list(g.edges()))
+    return graph_spec_from_nx(g)
 
 
 def load_graph_spec(path: str) -> GraphSpec:
-    """Load a graph from ``.json`` (ours) or ``.gpickle`` (reference format)."""
+    """Load a graph from ``.json`` (ours) or ``.gpickle`` (reference format).
+
+    Both preserve per-node neighbour order (see
+    :func:`graph_spec_from_adjacency`).
+    """
     if path.endswith(".json"):
         with open(path) as f:
             data = json.load(f)
+        if "adjacency" in data:
+            return graph_spec_from_adjacency(data["adjacency"])
         return graph_spec_from_edges(data["num_nodes"], [tuple(e) for e in data["edges"]])
     with open(path, "rb") as f:
         g = pickle.load(f)  # a pickled networkx.Graph
-    return graph_spec_from_edges(g.number_of_nodes(), list(g.edges()))
+    return graph_spec_from_nx(g)
 
 
-def save_graph_spec(num_nodes: int, edges: Sequence[tuple[int, int]], path: str) -> None:
+def save_graph_spec(adjacency: Sequence[Sequence[int]], path: str) -> None:
+    """Save ordered per-node neighbour lists as JSON."""
     with open(path, "w") as f:
-        json.dump({"num_nodes": num_nodes, "edges": [list(e) for e in edges]}, f)
+        json.dump(
+            {"num_nodes": len(adjacency), "adjacency": [list(a) for a in adjacency]}, f
+        )
 
 
 def resolve_stage_graph(
@@ -103,14 +138,17 @@ def resolve_stage_graph(
                 return load_graph_spec(path)
         raise FileNotFoundError(f"no stage_{stage} graph under {load_graph}")
 
-    spec = build_graph_spec(nodes, k, p, seed=(stage * seed) if seed is not None else None)
+    import networkx as nx
+
+    g = nx.connected_watts_strogatz_graph(
+        nodes, k, p, seed=(stage * seed) if seed is not None else None
+    )
+    spec = graph_spec_from_nx(g)
 
     if save_graph is not None:
         directory = os.path.join(save_graph, f"nodes_{nodes}_seed_{seed}")
         os.makedirs(directory, exist_ok=True)
-        edges = []
-        for node in spec.nodes:
-            edges.extend((src, node.id) for src in node.inputs)
-        save_graph_spec(len(spec.nodes), edges, os.path.join(directory, f"stage_{stage}.json"))
+        adjacency = [list(g.neighbors(i)) for i in range(g.number_of_nodes())]
+        save_graph_spec(adjacency, os.path.join(directory, f"stage_{stage}.json"))
 
     return spec

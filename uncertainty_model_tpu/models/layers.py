@@ -70,7 +70,8 @@ class ConvBNELU(nn.Module):
             name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_fast_variance=False, name="bn"
         )(x)
         return nn.elu(x)
 
@@ -291,7 +292,8 @@ class DecoderConvELU(nn.Module):
         )(x)
         if self.batch_norm:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_fast_variance=False, name="bn"
             )(x)
         return nn.elu(x)
 
