@@ -243,9 +243,35 @@ class EncoderStage(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _reflect_conv(conv, x: jnp.ndarray) -> jnp.ndarray:
+    """Same-size reflect(1)-padded 3x3 conv without materialising the padded
+    tensor (see ops/conv.py): internal-valid conv over the interior + border
+    strips recomputed from reflect-padded 3-row/3-col slices.  ``conv`` is a
+    flax module called several times -> shared parameters.  Bit-exact with
+    pad-then-conv."""
+    interior = conv(x)  # VALID: (H-2, W-2)
+
+    top = conv(pad2d(jnp.concatenate([x[:, 1:2], x[:, 0:2]], axis=1),
+                     (1, 1, 0, 0), "reflect"))
+    bottom = conv(pad2d(jnp.concatenate([x[:, -2:], x[:, -2:-1]], axis=1),
+                        (1, 1, 0, 0), "reflect"))
+    left = conv(pad2d(jnp.concatenate([x[:, :, 1:2], x[:, :, 0:2]], axis=2),
+                      (0, 0, 1, 1), "reflect"))
+    right = conv(pad2d(jnp.concatenate([x[:, :, -2:], x[:, :, -2:-1]], axis=2),
+                       (0, 0, 1, 1), "reflect"))
+
+    middle = jnp.concatenate([left[:, 1:-1], interior, right[:, 1:-1]], axis=2)
+    return jnp.concatenate([top, middle, bottom], axis=1)
+
+
 class ConvLayer(nn.Module):
     """(Reflection|Zero)Pad -> Conv -> optional Sigmoid (reference
-    model/layers/decoder.py:11-52)."""
+    model/layers/decoder.py:11-52).
+
+    Zero padding is folded into the conv; reflection padding uses the
+    border-restitch decomposition (both avoid the full-tensor pad copy,
+    which costs more than the conv itself at full resolution on TPU).
+    """
 
     out_channels: int
     padding: bool = True
@@ -257,19 +283,29 @@ class ConvLayer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
         fan_in = x.shape[-1] * k * k
-        if self.padding:
-            if self.reflection:
+
+        if self.padding and self.reflection and k == 3 and x.shape[1] >= 3 \
+                and x.shape[2] >= 3:
+            conv = nn.Conv(
+                self.out_channels, (k, k), padding="VALID",
+                kernel_init=xavier_uniform,
+                bias_init=torch_fanin_uniform(fan_in), name="conv",
+            )
+            x = _reflect_conv(conv, x)
+        else:
+            if self.padding and self.reflection:
                 x = pad2d(x, (1, 1, 1, 1), mode="reflect")
+                pad = "VALID"
+            elif self.padding:
+                pad = [(1, 1), (1, 1)]  # zero pad folded into the conv
             else:
-                x = pad2d(x, (1, 1, 1, 1), mode="zeros")
-        x = nn.Conv(
-            self.out_channels,
-            (k, k),
-            padding="VALID",
-            kernel_init=xavier_uniform,
-            bias_init=torch_fanin_uniform(fan_in),
-            name="conv",
-        )(x)
+                pad = "VALID"
+            x = nn.Conv(
+                self.out_channels, (k, k), padding=pad,
+                kernel_init=xavier_uniform,
+                bias_init=torch_fanin_uniform(fan_in), name="conv",
+            )(x)
+
         if self.sigmoid:
             x = jax.nn.sigmoid(x)
         return x

@@ -243,6 +243,7 @@ class Trainer:
         epoch_number: Optional[int] = None,
         log_every: int = 0,
         progress: Optional[Callable[[dict], None]] = None,
+        pbar: bool = False,
     ):
         """One pass over the loader (reference train/train.py:51-170).
 
@@ -252,7 +253,17 @@ class Trainer:
         n_images = 0
         averages = {}
 
-        for i, batch in enumerate(loader):
+        iterator = loader
+        tepoch = None
+        if pbar:
+            import tqdm
+
+            description = (f"Epoch #{epoch_number}" if epoch_number is not None
+                           else "Epoch")
+            tepoch = tqdm.tqdm(loader, description, unit="batch")
+            iterator = tepoch
+
+        for i, batch in enumerate(iterator):
             sharded = shard_batch(batch, self.mesh)
             state, metrics = self._train_step(
                 state, sharded, jnp.float32(disp_scale), jnp.float32(lr), jnp.int32(i)
@@ -269,7 +280,10 @@ class Trainer:
                 "disc": running["disc_loss"] / n_images if self.disc else None,
                 "scale": disp_scale,
             }
-            if progress is not None:
+            if tepoch is not None:
+                tepoch.set_postfix(disp=averages["disp"], unc=averages["unc"],
+                                   disc=averages["disc"], scale=disp_scale)
+            elif progress is not None:
                 progress({"batch": i, **averages})
             elif log_every and (i + 1) % log_every == 0:
                 print(
@@ -317,7 +331,8 @@ class Trainer:
             t0 = time.time()
             state, averages = self.train_one_epoch(
                 state, loader, disp_scale, lr, epoch_number=epoch + 1,
-                log_every=0 if no_pbar else 10,
+                log_every=10 if no_pbar else 0,
+                pbar=(not no_pbar and process_index == 0),
             )
             if profile_dir is not None and epoch == 0:
                 jax.tree.map(lambda x: x.block_until_ready(), state.params)
