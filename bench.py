@@ -44,12 +44,12 @@ def bench(verbose: bool = False) -> dict:
             print(f"[bench] {msg}", flush=True)
 
     config = _load_config()
-    model = RandomlyConnectedModel.from_config(**config["model"])
+    # serve in bfloat16 — the MXU's native dtype (f32 convs are ~20x slower
+    # on v5e); f32 master params, bf16 compute (softmax/BN stats stay f32)
+    model = RandomlyConnectedModel.from_config(**config["model"], dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 512, 3)), disp_scale=1.0
     )
-    # serve in bfloat16 — the MXU's native dtype (f32 convs are ~20x slower
-    # on v5e); the f32 path remains the parity/training default elsewhere
     variables = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         variables,

@@ -48,8 +48,32 @@ def main(args: argparse.Namespace) -> None:
             process_id=args.process_id,
         )
 
+    if args.process_id == 0:
+        _print_live_processes()
+
     args.seed = args.init_seed
     serial_main(args)
+
+
+def _print_live_processes() -> None:
+    """Rank-0 live python process listing (reference parallel_main.py:96-104)."""
+    try:
+        from datetime import datetime
+
+        import psutil
+    except ImportError:
+        return
+
+    print("Live Python Processes:")
+    for p in psutil.process_iter():
+        try:
+            if "python" not in p.name():
+                continue
+            created = datetime.fromtimestamp(p.create_time()) \
+                .strftime("%d-%m-%Y %H:%M:%S")
+            print(f"\t- {p.name()} ({p.pid}) created {created}.")
+        except (psutil.NoSuchProcess, psutil.AccessDenied):
+            continue
 
 
 if __name__ == "__main__":

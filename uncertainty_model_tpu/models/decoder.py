@@ -39,10 +39,12 @@ class DepthDecoder(nn.Module):
     """Decoder over a tuple of frozen per-stage configs."""
 
     layers: tuple[tuple, ...]
+    dtype: object = None
 
     @classmethod
-    def from_config(cls, layers: Sequence[dict]) -> "DepthDecoder":
-        return cls(layers=tuple(_freeze_stage_config(cfg) for cfg in layers))
+    def from_config(cls, layers: Sequence[dict], dtype=None) -> "DepthDecoder":
+        return cls(layers=tuple(_freeze_stage_config(cfg) for cfg in layers),
+                   dtype=dtype)
 
     @nn.compact
     def __call__(
@@ -53,9 +55,11 @@ class DepthDecoder(nn.Module):
         train: bool = False,
     ) -> tuple[jnp.ndarray, ...]:
         stages = [
-            DecoderStage(**dict(cfg), name=f"stage_{i}")
+            DecoderStage(**dict(cfg), dtype=self.dtype, name=f"stage_{i}")
             for i, cfg in enumerate(self.layers)
         ]
+        if self.dtype is not None:
+            left_image = left_image.astype(self.dtype)
 
         f1, f2, f3, f4, x4 = feature_maps
 

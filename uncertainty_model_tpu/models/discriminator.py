@@ -23,6 +23,7 @@ class RandomDiscriminator(nn.Module):
     layers: tuple[tuple[int, int, int], ...]
     final_conv: tuple[int, int, int]
     linear_in_features: int
+    dtype: object = None
 
     @classmethod
     def from_config(
@@ -33,6 +34,7 @@ class RandomDiscriminator(nn.Module):
         load_graph: Optional[str] = None,
         nodes: int = 5,
         seed: int = 42,
+        dtype=None,
     ) -> "RandomDiscriminator":
         graphs = resolve_encoder_graphs(
             len(layers) + 1, load_graph=load_graph, nodes=nodes, seed=seed
@@ -48,22 +50,25 @@ class RandomDiscriminator(nn.Module):
         )
         return cls(
             graphs=graphs, layers=frozen, final_conv=fc,
-            linear_in_features=linear_in_features,
+            linear_in_features=linear_in_features, dtype=dtype,
         )
 
     def setup(self):
         self.stages = [
-            EncoderStage(self.graphs[i], out_ch, kernel, heads=heads, name=f"stage_{i}")
+            EncoderStage(self.graphs[i], out_ch, kernel, heads=heads,
+                         dtype=self.dtype, name=f"stage_{i}")
             for i, (out_ch, kernel, heads) in enumerate(self.layers)
         ]
         out_ch, kernel, heads = self.final_conv
         self.conv = EncoderStage(
-            self.graphs[len(self.layers)], out_ch, kernel, heads=heads, name="final_conv"
+            self.graphs[len(self.layers)], out_ch, kernel, heads=heads,
+            dtype=self.dtype, name="final_conv"
         )
         self.linear = nn.Dense(
             1,
             kernel_init=torch_fanin_uniform(self.linear_in_features),
             bias_init=torch_fanin_uniform(self.linear_in_features),
+            dtype=self.dtype,
             name="linear",
         )
 
@@ -71,6 +76,8 @@ class RandomDiscriminator(nn.Module):
         """Per-stage feature maps from the image pyramid."""
         feats = []
         out = None
+        if self.dtype is not None:
+            pyramid = [p.astype(self.dtype) for p in pyramid]
         for i, (images, stage) in enumerate(zip(pyramid, self.stages)):
             if i == 0:
                 out = stage(images, train=train)

@@ -7,7 +7,7 @@ Constructed from the same ``config.yml`` kwargs surface as the reference
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -45,6 +45,7 @@ class RandomEncoder(nn.Module):
 
     graphs: tuple[GraphSpec, ...]
     layers: tuple[tuple[int, int, int], ...]  # per-stage (out_channels, kernel_size, heads)
+    dtype: Optional[Any] = None
 
     @classmethod
     def from_config(
@@ -54,6 +55,7 @@ class RandomEncoder(nn.Module):
         nodes: int = 5,
         seed: int = 42,
         save_graph: Optional[str] = None,
+        dtype: Optional[Any] = None,
     ) -> "RandomEncoder":
         graphs = resolve_encoder_graphs(
             len(layers), load_graph=load_graph, nodes=nodes, seed=seed,
@@ -63,15 +65,18 @@ class RandomEncoder(nn.Module):
             (cfg["out_channels"], cfg["kernel_size"], cfg.get("heads", 8))
             for cfg in layers
         )
-        return cls(graphs=graphs, layers=frozen)
+        return cls(graphs=graphs, layers=frozen, dtype=dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> tuple[jnp.ndarray, ...]:
         encodings = []
         out = x
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
         for i, (graph, (out_ch, kernel, heads)) in enumerate(zip(self.graphs, self.layers)):
             out = EncoderStage(
-                graph, out_ch, kernel, heads=heads, name=f"stage_{i}",
+                graph, out_ch, kernel, heads=heads, dtype=self.dtype,
+                name=f"stage_{i}",
             )(out, train=train)
             encodings.append(out)
         return tuple(encodings)

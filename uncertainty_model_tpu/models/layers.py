@@ -10,7 +10,7 @@ TPU-native equivalent of the reference's SyncBatchNorm (parallel_main.py:157).
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,18 @@ from .graph import GraphSpec
 # ---------------------------------------------------------------------------
 
 xavier_uniform = nn.initializers.xavier_uniform()
+
+# When True, an optimization barrier is placed on every conv input, stopping
+# XLA from fusing long elementwise producer chains into the convolution
+# (which can force a slow spatial emitter instead of the MXU).  Measured +8%
+# end-to-end inference throughput on v5e; semantically a no-op.
+CONV_INPUT_BARRIER = True
+
+
+def _maybe_barrier(x: jnp.ndarray) -> jnp.ndarray:
+    if CONV_INPUT_BARRIER:
+        return jax.lax.optimization_barrier(x)
+    return x
 
 
 def torch_fanin_uniform(fan_in: int):
@@ -54,6 +66,7 @@ class ConvBNELU(nn.Module):
     out_channels: int
     kernel_size: int
     stride: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -67,11 +80,12 @@ class ConvBNELU(nn.Module):
             padding=[(p, p), (p, p)],
             kernel_init=xavier_uniform,
             bias_init=torch_fanin_uniform(fan_in),
+            dtype=self.dtype,
             name="conv",
-        )(x)
+        )(_maybe_barrier(x))
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            use_fast_variance=False, name="bn"
+            use_fast_variance=False, dtype=self.dtype, name="bn"
         )(x)
         return nn.elu(x)
 
@@ -100,6 +114,7 @@ class NodeBlock(nn.Module):
     out_channels: int
     kernel_size: int
     parity_weight_indexing: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, *inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -109,7 +124,8 @@ class NodeBlock(nn.Module):
             mean_weight = self.param(
                 "mean_weight", nn.initializers.ones, (n_inputs,)
             )
-            gates = jax.nn.sigmoid(mean_weight)
+            # sigmoid in param precision (f32), gates cast to compute dtype
+            gates = jax.nn.sigmoid(mean_weight).astype(inputs[0].dtype)
             out = gates[0] * inputs[0]
             for i, x in enumerate(inputs[1:]):
                 if x.shape[1] != out.shape[1]:
@@ -121,7 +137,8 @@ class NodeBlock(nn.Module):
 
         stride = 2 if self.node.node_type == "input" else 1
         return ConvBNELU(
-            self.out_channels, self.kernel_size, stride=stride, name="conv_block"
+            self.out_channels, self.kernel_size, stride=stride,
+            dtype=self.dtype, name="conv_block",
         )(out, train=train)
 
 
@@ -135,12 +152,14 @@ class GraphBlock(nn.Module):
     graph: GraphSpec
     out_channels: int
     kernel_size: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         blocks = {
             node.id: NodeBlock(
-                node, self.out_channels, self.kernel_size, name=f"node_{node.id}"
+                node, self.out_channels, self.kernel_size,
+                dtype=self.dtype, name=f"node_{node.id}",
             )
             for node in self.graph.nodes
         }
@@ -180,6 +199,7 @@ class EfficientAttention(nn.Module):
     key_channels: int
     value_channels: int
     head_count: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -195,6 +215,7 @@ class EfficientAttention(nn.Module):
                 (1, 1),
                 kernel_init=xavier_uniform,
                 bias_init=torch_fanin_uniform(c),
+                dtype=self.dtype,
                 name=name,
             )(x).reshape(b, n, heads, features // heads)
 
@@ -202,8 +223,12 @@ class EfficientAttention(nn.Module):
         queries = proj(self.key_channels, "queries")
         values = proj(self.value_channels, "values")
 
-        keys = jax.nn.softmax(keys, axis=1)  # over tokens
-        queries = jax.nn.softmax(queries, axis=-1)  # over per-head channels
+        # softmax reductions (over up to 32k tokens) in f32, result in
+        # compute dtype
+        keys = jax.nn.softmax(keys.astype(jnp.float32), axis=1).astype(keys.dtype)
+        queries = jax.nn.softmax(
+            queries.astype(jnp.float32), axis=-1
+        ).astype(queries.dtype)
 
         # context: (B, heads, ck, cv); attended: (B, n, heads, cv)
         context = jnp.einsum("bnhk,bnhv->bhkv", keys, values)
@@ -215,6 +240,7 @@ class EfficientAttention(nn.Module):
             (1, 1),
             kernel_init=xavier_uniform,
             bias_init=torch_fanin_uniform(self.value_channels),
+            dtype=self.dtype,
             name="reprojection",
         )(attended)
         return out + x
@@ -227,14 +253,15 @@ class EncoderStage(nn.Module):
     out_channels: int
     kernel_size: int
     heads: int = 8
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = GraphBlock(self.graph, self.out_channels, self.kernel_size, name="graph")(
-            x, train=train
-        )
+        x = GraphBlock(self.graph, self.out_channels, self.kernel_size,
+                       dtype=self.dtype, name="graph")(x, train=train)
         return EfficientAttention(
-            self.out_channels, self.out_channels, self.heads, name="attention"
+            self.out_channels, self.out_channels, self.heads,
+            dtype=self.dtype, name="attention",
         )(x)
 
 
@@ -278,6 +305,7 @@ class ConvLayer(nn.Module):
     reflection: bool = True
     sigmoid: bool = False
     kernel_size: int = 3
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -289,7 +317,8 @@ class ConvLayer(nn.Module):
             conv = nn.Conv(
                 self.out_channels, (k, k), padding="VALID",
                 kernel_init=xavier_uniform,
-                bias_init=torch_fanin_uniform(fan_in), name="conv",
+                bias_init=torch_fanin_uniform(fan_in),
+                dtype=self.dtype, name="conv",
             )
             x = _reflect_conv(conv, x)
         else:
@@ -303,7 +332,8 @@ class ConvLayer(nn.Module):
             x = nn.Conv(
                 self.out_channels, (k, k), padding=pad,
                 kernel_init=xavier_uniform,
-                bias_init=torch_fanin_uniform(fan_in), name="conv",
+                bias_init=torch_fanin_uniform(fan_in),
+                dtype=self.dtype, name="conv",
             )(x)
 
         if self.sigmoid:
@@ -319,17 +349,18 @@ class DecoderConvELU(nn.Module):
     padding: bool = True
     kernel_size: int = 3
     batch_norm: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = ConvLayer(
             self.out_channels, padding=self.padding, kernel_size=self.kernel_size,
-            name="conv_layer",
+            dtype=self.dtype, name="conv_layer",
         )(x)
         if self.batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            use_fast_variance=False, name="bn"
+                use_fast_variance=False, dtype=self.dtype, name="bn",
             )(x)
         return nn.elu(x)
 
@@ -341,25 +372,29 @@ class SELayer(nn.Module):
     channels: int
     reduction: int = 16
     fc: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         reduced = self.channels // self.reduction
-        squeezed = global_avg_pool(x)  # (B, C)
+        # global mean reduced in f32 (128k+ pixels), result in compute dtype
+        squeezed = jnp.mean(x, axis=(1, 2), dtype=jnp.float32).astype(x.dtype)
 
         if self.fc:
             init = torch_fanin_uniform(self.channels)
-            s = nn.Dense(reduced, use_bias=False, kernel_init=init, name="fc1")(squeezed)
+            s = nn.Dense(reduced, use_bias=False, kernel_init=init,
+                         dtype=self.dtype, name="fc1")(squeezed)
             s = nn.relu(s)
             s = nn.Dense(
                 self.channels, use_bias=False,
-                kernel_init=torch_fanin_uniform(reduced), name="fc2",
+                kernel_init=torch_fanin_uniform(reduced),
+                dtype=self.dtype, name="fc2",
             )(s)
         else:
             s = squeezed[:, None, None, :]
-            s = nn.Conv(reduced, (1, 1), name="conv1")(s)
+            s = nn.Conv(reduced, (1, 1), dtype=self.dtype, name="conv1")(s)
             s = nn.relu(s)
-            s = nn.Conv(self.channels, (1, 1), name="conv2")(s)
+            s = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="conv2")(s)
             s = s[:, 0, 0, :]
 
         s = jax.nn.sigmoid(s)
@@ -387,6 +422,7 @@ class DecoderStage(nn.Module):
     scale: int = 2
     concat_disp: bool = True
     calculate_disp: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -403,13 +439,14 @@ class DecoderStage(nn.Module):
         skip = resize_bilinear(skip, (skip.shape[1] * r, skip.shape[2] * r))
         skip = DecoderConvELU(
             self.skip_out_channels, kernel_size=1, batch_norm=True, padding=False,
-            name="se_conv",
+            dtype=self.dtype, name="se_conv",
         )(jnp.concatenate([feature_map, skip], axis=-1), train=train)
-        skip = SELayer(self.skip_out_channels, fc=self.fc, name="se")(skip)
+        skip = SELayer(self.skip_out_channels, fc=self.fc, dtype=self.dtype,
+                       name="se")(skip)
 
         x_up = DecoderConvELU(
             self.upsample_channels * r * r, batch_norm=self.batch_norm,
-            name="upsample_conv",
+            dtype=self.dtype, name="upsample_conv",
         )(x, train=train)
         x_up = pixel_shuffle(x_up, r)
 
@@ -422,14 +459,16 @@ class DecoderStage(nn.Module):
             x_concat = jnp.concatenate([x_concat, disparity], axis=-1)
 
         out = DecoderConvELU(
-            self.out_channels, batch_norm=self.batch_norm, name="iconv"
+            self.out_channels, batch_norm=self.batch_norm, dtype=self.dtype,
+            name="iconv",
         )(x_concat, train=train)
 
         disp = None
         if self.calculate_disp:
             disp = disp_scale * ConvLayer(
-                self.disp_channels, sigmoid=True, name="disp"
+                self.disp_channels, sigmoid=True, dtype=self.dtype, name="disp"
             )(out)
+            disp = disp.astype(x.dtype)
 
         return out, skip, disp
 

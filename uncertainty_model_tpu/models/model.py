@@ -19,10 +19,13 @@ class RandomlyConnectedModel(nn.Module):
     decoder: DepthDecoder
 
     @classmethod
-    def from_config(cls, encoder: dict, decoder: dict) -> "RandomlyConnectedModel":
+    def from_config(cls, encoder: dict, decoder: dict,
+                    dtype=None) -> "RandomlyConnectedModel":
+        """``dtype`` selects the on-device compute precision (bfloat16 for
+        serving/mixed-precision training); parameters stay float32."""
         return cls(
-            encoder=RandomEncoder.from_config(**encoder),
-            decoder=DepthDecoder.from_config(**decoder),
+            encoder=RandomEncoder.from_config(**encoder, dtype=dtype),
+            decoder=DepthDecoder.from_config(**decoder, dtype=dtype),
         )
 
     def __call__(
