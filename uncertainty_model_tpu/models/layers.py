@@ -223,12 +223,18 @@ class EfficientAttention(nn.Module):
         queries = proj(self.key_channels, "queries")
         values = proj(self.value_channels, "values")
 
-        # softmax reductions (over up to 32k tokens) in f32, result in
-        # compute dtype
-        keys = jax.nn.softmax(keys.astype(jnp.float32), axis=1).astype(keys.dtype)
-        queries = jax.nn.softmax(
-            queries.astype(jnp.float32), axis=-1
-        ).astype(queries.dtype)
+        # softmax with f32 reductions but no materialised f32 copies: the max
+        # and the exp-sum accumulate in f32, data stays in compute dtype
+        def softmax(v, axis):
+            if v.dtype == jnp.float32:
+                return jax.nn.softmax(v, axis=axis)
+            m = jnp.max(v.astype(jnp.float32), axis=axis, keepdims=True)
+            e = jnp.exp(v - m.astype(v.dtype))
+            s = jnp.sum(e, axis=axis, keepdims=True, dtype=jnp.float32)
+            return e * (1.0 / s).astype(v.dtype)
+
+        keys = softmax(keys, 1)  # over tokens
+        queries = softmax(queries, -1)  # over per-head channels
 
         # context: (B, heads, ck, cv); attended: (B, n, heads, cv)
         context = jnp.einsum("bnhk,bnhv->bhkv", keys, values)
@@ -270,25 +276,61 @@ class EncoderStage(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _reflect_conv(conv, x: jnp.ndarray) -> jnp.ndarray:
+class _ConvParams(nn.Module):
+    """Parameter-only holder so raw lax.conv calls can share one kernel/bias
+    across different padding configurations (named 'conv' -> identical
+    checkpoint paths to an nn.Conv submodule)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", xavier_uniform, (k, k, self.in_channels, self.out_channels)
+        )
+        bias = self.param(
+            "bias", torch_fanin_uniform(self.in_channels * k * k),
+            (self.out_channels,),
+        )
+        return kernel, bias
+
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _reflect_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     """Same-size reflect(1)-padded 3x3 conv without materialising the padded
-    tensor (see ops/conv.py): internal-valid conv over the interior + border
-    strips recomputed from reflect-padded 3-row/3-col slices.  ``conv`` is a
-    flax module called several times -> shared parameters.  Bit-exact with
-    pad-then-conv."""
-    interior = conv(x)  # VALID: (H-2, W-2)
+    tensor (see ops/conv.py): one conv with *internal* zero padding (already
+    correct everywhere except the 1-pixel border), then the four border
+    strips — recomputed from reflect-padded 3-row/3-col slices — are written
+    in place with dynamic_update_slice.  Bit-exact with pad-then-conv."""
+    import jax.lax as lax
+
+    def conv(inp, padding):
+        out = lax.conv_general_dilated(inp, kernel, (1, 1), padding,
+                                       dimension_numbers=_DN)
+        return out + bias
+
+    full = conv(x, [(1, 1), (1, 1)])  # internal zero pad, no copy
 
     top = conv(pad2d(jnp.concatenate([x[:, 1:2], x[:, 0:2]], axis=1),
-                     (1, 1, 0, 0), "reflect"))
+                     (1, 1, 0, 0), "reflect"), "VALID")
     bottom = conv(pad2d(jnp.concatenate([x[:, -2:], x[:, -2:-1]], axis=1),
-                        (1, 1, 0, 0), "reflect"))
+                        (1, 1, 0, 0), "reflect"), "VALID")
     left = conv(pad2d(jnp.concatenate([x[:, :, 1:2], x[:, :, 0:2]], axis=2),
-                      (0, 0, 1, 1), "reflect"))
+                      (0, 0, 1, 1), "reflect"), "VALID")
     right = conv(pad2d(jnp.concatenate([x[:, :, -2:], x[:, :, -2:-1]], axis=2),
-                       (0, 0, 1, 1), "reflect"))
+                       (0, 0, 1, 1), "reflect"), "VALID")
 
-    middle = jnp.concatenate([left[:, 1:-1], interior, right[:, 1:-1]], axis=2)
-    return jnp.concatenate([top, middle, bottom], axis=1)
+    h, w = x.shape[1], x.shape[2]
+    out = lax.dynamic_update_slice(full, top, (0, 0, 0, 0))
+    out = lax.dynamic_update_slice(out, bottom, (0, h - 1, 0, 0))
+    out = lax.dynamic_update_slice(out, left, (0, 0, 0, 0))
+    out = lax.dynamic_update_slice(out, right, (0, 0, w - 1, 0))
+    return out
 
 
 class ConvLayer(nn.Module):
@@ -314,13 +356,14 @@ class ConvLayer(nn.Module):
 
         if self.padding and self.reflection and k == 3 and x.shape[1] >= 3 \
                 and x.shape[2] >= 3:
-            conv = nn.Conv(
-                self.out_channels, (k, k), padding="VALID",
-                kernel_init=xavier_uniform,
-                bias_init=torch_fanin_uniform(fan_in),
-                dtype=self.dtype, name="conv",
-            )
-            x = _reflect_conv(conv, x)
+            kernel, bias = _ConvParams(
+                x.shape[-1], self.out_channels, k, name="conv"
+            )()
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                kernel = kernel.astype(self.dtype)
+                bias = bias.astype(self.dtype)
+            x = _reflect_conv(_maybe_barrier(x), kernel, bias)
         else:
             if self.padding and self.reflection:
                 x = pad2d(x, (1, 1, 1, 1), mode="reflect")
