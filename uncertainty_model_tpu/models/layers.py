@@ -337,9 +337,12 @@ class ConvLayer(nn.Module):
     """(Reflection|Zero)Pad -> Conv -> optional Sigmoid (reference
     model/layers/decoder.py:11-52).
 
-    Zero padding is folded into the conv; reflection padding uses the
-    border-restitch decomposition (both avoid the full-tensor pad copy,
-    which costs more than the conv itself at full resolution on TPU).
+    TPU-tuned lowering (all bit-exact with pad-then-conv):
+      * reflection padding: internally-zero-padded conv + in-place border
+        fixup (no full-tensor pad copy);
+      * zero padding: folded into the conv op;
+      * 1x1 convs accept a TUPLE of inputs and split the kernel per input,
+        skipping the concat's full-tensor write+read.
     """
 
     out_channels: int
@@ -350,34 +353,46 @@ class ConvLayer(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        k = self.kernel_size
-        fan_in = x.shape[-1] * k * k
+    def __call__(self, x) -> jnp.ndarray:
+        from jax import lax
 
-        if self.padding and self.reflection and k == 3 and x.shape[1] >= 3 \
-                and x.shape[2] >= 3:
-            kernel, bias = _ConvParams(
-                x.shape[-1], self.out_channels, k, name="conv"
-            )()
-            if self.dtype is not None:
-                x = x.astype(self.dtype)
-                kernel = kernel.astype(self.dtype)
-                bias = bias.astype(self.dtype)
-            x = _reflect_conv(_maybe_barrier(x), kernel, bias)
+        k = self.kernel_size
+        parts = list(x) if isinstance(x, (list, tuple)) else [x]
+        in_channels = sum(p.shape[-1] for p in parts)
+
+        kernel, bias = _ConvParams(in_channels, self.out_channels, k, name="conv")()
+        if self.dtype is not None:
+            parts = [p.astype(self.dtype) for p in parts]
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+
+        if len(parts) > 1 and k == 1 and not self.padding:
+            # split-concat conv: conv(concat(a, b)) == conv_a(a) + conv_b(b)
+            out = None
+            offset = 0
+            for p in parts:
+                w = kernel[:, :, offset:offset + p.shape[-1]]
+                offset += p.shape[-1]
+                y = lax.conv_general_dilated(p, w, (1, 1), "VALID",
+                                             dimension_numbers=_DN)
+                out = y if out is None else out + y
+            x = out + bias
         else:
-            if self.padding and self.reflection:
-                x = pad2d(x, (1, 1, 1, 1), mode="reflect")
-                pad = "VALID"
-            elif self.padding:
-                pad = [(1, 1), (1, 1)]  # zero pad folded into the conv
+            x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+            if self.padding and self.reflection and k == 3 and x.shape[1] >= 3 \
+                    and x.shape[2] >= 3:
+                x = _reflect_conv(x, kernel, bias)
             else:
-                pad = "VALID"
-            x = nn.Conv(
-                self.out_channels, (k, k), padding=pad,
-                kernel_init=xavier_uniform,
-                bias_init=torch_fanin_uniform(fan_in),
-                dtype=self.dtype, name="conv",
-            )(x)
+                if self.padding and self.reflection:
+                    x = pad2d(x, (1, 1, 1, 1), mode="reflect")
+                    pad = "VALID"
+                elif self.padding:
+                    p = (k - 1) // 2
+                    pad = [(p, p), (p, p)]  # zero pad folded into the conv
+                else:
+                    pad = "VALID"
+                x = lax.conv_general_dilated(x, kernel, (1, 1), pad,
+                                             dimension_numbers=_DN) + bias
 
         if self.sigmoid:
             x = jax.nn.sigmoid(x)
@@ -480,10 +495,12 @@ class DecoderStage(nn.Module):
         r = self.scale
 
         skip = resize_bilinear(skip, (skip.shape[1] * r, skip.shape[2] * r))
+        # tuple input -> the 1x1 conv splits its kernel per input, skipping
+        # the concat's full-tensor round trip
         skip = DecoderConvELU(
             self.skip_out_channels, kernel_size=1, batch_norm=True, padding=False,
             dtype=self.dtype, name="se_conv",
-        )(jnp.concatenate([feature_map, skip], axis=-1), train=train)
+        )((feature_map, skip), train=train)
         skip = SELayer(self.skip_out_channels, fc=self.fc, dtype=self.dtype,
                        name="se")(skip)
 
