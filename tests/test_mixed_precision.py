@@ -1,0 +1,126 @@
+"""Mixed-precision (bf16 compute, f32 params) path tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tiny_config import TINY_DISCRIMINATOR, TINY_INPUT, TINY_MODEL
+
+from uncertainty_model_tpu.models import RandomDiscriminator, RandomlyConnectedModel
+from uncertainty_model_tpu.models.layers import ConvLayer
+from uncertainty_model_tpu.ops import resize_bilinear
+
+
+class TestResizeBf16:
+    def test_einsum_path_close_to_f32(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(size=(2, 16, 24, 8)).astype(np.float32)
+        a = resize_bilinear(jnp.asarray(x), (32, 48))
+        b = resize_bilinear(jnp.asarray(x, jnp.bfloat16), (32, 48))
+        assert b.dtype == jnp.bfloat16
+        # bf16 coefficient rounding ~2^-8
+        assert float(jnp.abs(a - b.astype(jnp.float32)).max()) < 0.02
+
+
+class TestConvLayerPaths:
+    def test_tuple_input_matches_concat(self):
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.uniform(size=(2, 8, 12, 5)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(size=(2, 8, 12, 11)).astype(np.float32))
+
+        layer = ConvLayer(7, padding=False, kernel_size=1)
+        v = layer.init(jax.random.PRNGKey(0), (a, b))
+        split = layer.apply(v, (a, b))
+        merged = layer.apply(v, jnp.concatenate([a, b], axis=-1))
+        np.testing.assert_allclose(np.asarray(split), np.asarray(merged), atol=1e-6)
+
+    def test_zero_pad_path(self):
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(2)
+        x = rng.uniform(size=(2, 8, 12, 4)).astype(np.float32)
+        layer = ConvLayer(6, padding=True, reflection=False)
+        v = layer.init(jax.random.PRNGKey(1), jnp.asarray(x))
+        out = layer.apply(v, jnp.asarray(x))
+
+        k = np.asarray(v["params"]["conv"]["kernel"])
+        bias = np.asarray(v["params"]["conv"]["bias"])
+        ref = F.conv2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)).contiguous(),
+            torch.from_numpy(k.transpose(3, 2, 0, 1).copy()),
+            torch.from_numpy(bias), padding=1,
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_reflect_path_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(size=(2, 10, 14, 4)).astype(np.float32)
+        layer = ConvLayer(6, padding=True, reflection=True, sigmoid=True)
+        v = layer.init(jax.random.PRNGKey(2), jnp.asarray(x))
+        out = layer.apply(v, jnp.asarray(x))
+
+        k = np.asarray(v["params"]["conv"]["kernel"])
+        bias = np.asarray(v["params"]["conv"]["bias"])
+        ref = torch.sigmoid(F.conv2d(
+            F.pad(torch.from_numpy(x.transpose(0, 3, 1, 2)).contiguous(),
+                  (1, 1, 1, 1), mode="reflect"),
+            torch.from_numpy(k.transpose(3, 2, 0, 1).copy()),
+            torch.from_numpy(bias),
+        )).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+class TestBf16Model:
+    def test_forward_close_to_f32(self):
+        model32 = RandomlyConnectedModel.from_config(**TINY_MODEL)
+        model16 = RandomlyConnectedModel.from_config(**TINY_MODEL, dtype=jnp.bfloat16)
+        v = model32.init(jax.random.PRNGKey(0), jnp.zeros((1, *TINY_INPUT, 3)),
+                         disp_scale=1.0)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(size=(2, *TINY_INPUT, 3)).astype(np.float32))
+
+        out32 = model32.apply(v, x, disp_scale=0.5)[0]
+        out16 = model16.apply(v, x, disp_scale=0.5)[0]
+        assert out16.dtype == jnp.bfloat16
+        # disparity is sigmoid-bounded; bf16 end-to-end drift stays small
+        err = float(jnp.abs(out32 - out16.astype(jnp.float32)).max())
+        assert err < 0.05, err
+
+    def test_bf16_train_step_finite(self):
+        from uncertainty_model_tpu.parallel import create_mesh, shard_batch
+        from uncertainty_model_tpu.train import Trainer
+
+        from tiny_config import TINY_LOSS
+
+        model = RandomlyConnectedModel.from_config(**TINY_MODEL, dtype=jnp.bfloat16)
+        trainer = Trainer(model, TINY_LOSS, mesh=create_mesh())
+        state = trainer.init_state(jax.random.PRNGKey(0), (1, *TINY_INPUT, 3))
+        assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+
+        rng = np.random.default_rng(5)
+        batch = shard_batch({
+            "left": rng.uniform(size=(8, *TINY_INPUT, 3)).astype(np.float32),
+            "right": rng.uniform(size=(8, *TINY_INPUT, 3)).astype(np.float32),
+        }, trainer.mesh)
+        state, metrics = trainer._train_step(
+            state, batch, jnp.float32(0.3), jnp.float32(1e-3), jnp.int32(0))
+        metrics = jax.device_get(metrics)
+        assert np.isfinite(float(metrics["disp_loss"]))
+        assert np.isfinite(float(metrics["error_loss"]))
+        assert metrics["disp_loss"].dtype == np.float32
+
+    def test_bf16_discriminator(self):
+        disc = RandomDiscriminator.from_config(**TINY_DISCRIMINATOR,
+                                               dtype=jnp.bfloat16)
+        pyr = [jnp.zeros((2, TINY_INPUT[0] // 2**i, TINY_INPUT[1] // 2**i, 6))
+               for i in range(4)]
+        v = disc.init(jax.random.PRNGKey(1), pyr)
+        out = disc.apply(v, pyr)
+        assert out.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -86,8 +86,11 @@ def main(args: argparse.Namespace) -> None:
     from ..train import Trainer, evaluate_model
     from ..train.checkpoint import load_checkpoint, load_torch_checkpoint
 
+    compute_dtype = None
     if args.precision == "bfloat16":
+        # mixed precision: f32 master params + losses, bf16 module compute
         jax.config.update("jax_default_matmul_precision", "bfloat16")
+        compute_dtype = jnp.bfloat16
 
     print("Arguments passed:")
     for key, value in vars(args).items():
@@ -136,8 +139,9 @@ def main(args: argparse.Namespace) -> None:
     mesh = create_mesh()
     print(f"Mesh: {mesh} over {len(jax.devices())} device(s).")
 
-    model = RandomlyConnectedModel.from_config(**config["model"])
-    disc = (RandomDiscriminator.from_config(**config["discriminator"])
+    model = RandomlyConnectedModel.from_config(**config["model"], dtype=compute_dtype)
+    disc = (RandomDiscriminator.from_config(**config["discriminator"],
+                                            dtype=compute_dtype)
             if args.adversarial else None)
 
     trainer = Trainer(model, config["loss"], disc=disc, mesh=mesh)

@@ -27,9 +27,29 @@ the gradient, matching grid_sample's gradient).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax.numpy as jnp
 import numpy as np
+
+# Warp backend: 'gather' (XLA take_along_axis; exact torch semantics in both
+# directions but its backward lowers to a pathological scatter on TPU) or
+# 'pallas' (one-hot-matmul kernel with a custom VJP — no scatter; measured
+# ~10x faster backward on v5e).  'auto' uses pallas on TPU, gather elsewhere.
+WARP_BACKEND = os.environ.get("UMT_WARP_BACKEND", "auto")
+
+
+def _use_pallas(platform_hint=None) -> bool:
+    if WARP_BACKEND == "gather":
+        return False
+    if WARP_BACKEND == "pallas":
+        return True
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 @functools.lru_cache(maxsize=None)
@@ -62,7 +82,7 @@ def warp_by_disparity(disparity: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarra
     """
     if disparity.ndim == 4:
         disparity = disparity[..., 0]
-    b, h, w, _ = source.shape
+    b, h, w, c = source.shape
     dtype = source.dtype
 
     # Vertical lerp: static per-row indices/weights.
@@ -72,9 +92,19 @@ def warp_by_disparity(disparity: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarra
     src_v = row_lo * jnp.asarray(w_lo, dtype)[None, :, None, None] + \
         row_hi * jnp.asarray(w_hi, dtype)[None, :, None, None]
 
-    # Horizontal gather + lerp with dynamic indices.
+    # Horizontal sampling coordinates (pixel units).
     x_base = (jnp.arange(w, dtype=jnp.float32) / (w - 1))[None, None, :]
     x_src = (x_base + disparity.astype(jnp.float32)) * w - 0.5
+
+    if _use_pallas():
+        from .pallas.warp import warp_rows
+
+        xsrc_rows = x_src.reshape(b * h, w)
+        srcv_rows = src_v.transpose(0, 1, 3, 2).reshape(b * h, c, w)
+        out = warp_rows(xsrc_rows, srcv_rows)
+        return out.reshape(b, h, c, w).transpose(0, 1, 3, 2)
+
+    # XLA gather + lerp fallback (exact torch formulation).
     x_lo = jnp.floor(x_src)
     frac = (x_src - x_lo).astype(dtype)
     x_lo = x_lo.astype(jnp.int32)

@@ -35,6 +35,7 @@ def _eval_step(model, variables, batch, scale, key):
     images = jnp.concatenate([left, right], axis=-1)
 
     prediction = model.apply(variables, left, disp_scale=scale)[0]
+    prediction = prediction.astype(jnp.float32)  # metrics in f32
     disparity = prediction[..., :2]
     uncertainty = prediction[..., 2:]
 

@@ -153,6 +153,8 @@ class Trainer:
                 train=True,
                 mutable=["batch_stats"],
             )
+            # losses always in f32 (model compute may be bf16 mixed precision)
+            disparities = [d.astype(jnp.float32) for d in disparities]
             recon_pyramid = reconstruct_pyramid(disparities, image_pyramid)
 
             disc_apply = disc_features = None
