@@ -33,14 +33,14 @@ ROWS_PER_PROGRAM = 8
 def _fwd_kernel(xsrc_ref, srcv_ref, out_ref):
     # xsrc: (R, W) f32 pixel coords; srcv: (R, C, W); out: (R, C, W)
     r_rows, width = xsrc_ref.shape
-    col = jax.lax.broadcasted_iota(jnp.float32, (width, width), 1)  # k on lanes
+    col = jax.lax.broadcasted_iota(jnp.int32, (width, width), 1)  # k on lanes
 
     def body(r, _):
         x = xsrc_ref[r, :]
-        x0 = jnp.floor(x)
-        t = (x - x0)[:, None]  # (W_out, 1)
-        x0 = x0[:, None]
-        m = jnp.where(col == x0, 1.0 - t, 0.0) + jnp.where(col == x0 + 1.0, t, 0.0)
+        x0f = jnp.floor(x)
+        t = (x - x0f)[:, None]  # (W_out, 1)
+        x0 = x0f.astype(jnp.int32)[:, None]
+        m = jnp.where(col == x0, 1.0 - t, 0.0) + jnp.where(col == x0 + 1, t, 0.0)
         src = srcv_ref[r].astype(jnp.float32)  # (C, W_in)
         out_ref[r] = jax.lax.dot_general(
             src, m, (((1,), (1,)), ((), ())),
@@ -53,15 +53,15 @@ def _fwd_kernel(xsrc_ref, srcv_ref, out_ref):
 
 def _bwd_kernel(xsrc_ref, srcv_ref, dout_ref, dsrc_ref, ddisp_ref):
     r_rows, width = xsrc_ref.shape
-    col = jax.lax.broadcasted_iota(jnp.float32, (width, width), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (width, width), 1)
 
     def body(r, _):
         x = xsrc_ref[r, :]
-        x0 = jnp.floor(x)
-        t = (x - x0)[:, None]
-        x0 = x0[:, None]
+        x0f = jnp.floor(x)
+        t = (x - x0f)[:, None]
+        x0 = x0f.astype(jnp.int32)[:, None]
         m_a = jnp.where(col == x0, 1.0, 0.0)       # (W_out, W_in)
-        m_b = jnp.where(col == x0 + 1.0, 1.0, 0.0)
+        m_b = jnp.where(col == x0 + 1, 1.0, 0.0)
         m = m_a * (1.0 - t) + m_b * t
 
         dout = dout_ref[r].astype(jnp.float32)     # (C, W_out)
