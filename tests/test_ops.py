@@ -129,3 +129,14 @@ class TestPixelShuffle:
         expected = F.pixel_shuffle(_to_torch_nchw(x), 2)
         got = ops.pixel_shuffle(jnp.asarray(x), 2)
         np.testing.assert_allclose(np.asarray(got), _from_torch_nchw(expected), atol=1e-6)
+
+
+class TestReflectConv:
+    def test_matches_pad_then_conv(self):
+        from uncertainty_model_tpu.ops import conv2d, pad2d, reflect_conv2d
+
+        x = jnp.asarray(_rand(2, 12, 18, 6, seed=11))
+        w = jnp.asarray(_rand(3, 3, 6, 8, seed=12) - 0.5)
+        got = reflect_conv2d(x, w)
+        expected = conv2d(pad2d(x, (1, 1, 1, 1), "reflect"), w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)

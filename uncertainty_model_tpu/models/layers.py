@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import avg_pool2d, global_avg_pool, pad2d, pixel_shuffle, resize_bilinear
+from ..ops import pad2d, pixel_shuffle, resize_bilinear
 from .graph import GraphSpec
 
 # ---------------------------------------------------------------------------
@@ -543,5 +543,4 @@ __all__ = [
     "DecoderConvELU",
     "SELayer",
     "DecoderStage",
-    "avg_pool2d",
 ]

@@ -17,6 +17,7 @@ from .warp import (
 )
 from .pool import avg_pool2d, global_avg_pool
 from .pad import pad2d
+from .conv import conv2d, reflect_conv2d
 from .shuffle import pixel_shuffle
 
 __all__ = [
@@ -29,5 +30,7 @@ __all__ = [
     "avg_pool2d",
     "global_avg_pool",
     "pad2d",
+    "conv2d",
+    "reflect_conv2d",
     "pixel_shuffle",
 ]

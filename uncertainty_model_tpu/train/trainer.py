@@ -253,7 +253,8 @@ class Trainer:
         """
         running = {"disp_loss": 0.0, "error_loss": 0.0, "disc_loss": 0.0}
         n_images = 0
-        averages = {}
+        averages = {"disp": float("nan"), "unc": float("nan"), "disc": None,
+                    "scale": disp_scale}  # value when the loader is empty
 
         iterator = loader
         tepoch = None
