@@ -210,6 +210,8 @@ class EfficientAttention(nn.Module):
         cv = self.value_channels // heads
 
         def proj(features, name):
+            # split heads on the channel axis only — (B,H,W,heads,ch) — so
+            # no (B,N,...) token flatten relayouts the whole map
             return nn.Conv(
                 features,
                 (1, 1),
@@ -217,7 +219,7 @@ class EfficientAttention(nn.Module):
                 bias_init=torch_fanin_uniform(c),
                 dtype=self.dtype,
                 name=name,
-            )(x).reshape(b, n, heads, features // heads)
+            )(x).reshape(b, h, w, heads, features // heads)
 
         keys = proj(self.key_channels, "keys")
         queries = proj(self.key_channels, "queries")
@@ -233,12 +235,12 @@ class EfficientAttention(nn.Module):
             s = jnp.sum(e, axis=axis, keepdims=True, dtype=jnp.float32)
             return e * (1.0 / s).astype(v.dtype)
 
-        keys = softmax(keys, 1)  # over tokens
+        keys = softmax(keys, (1, 2))  # over tokens (both spatial axes)
         queries = softmax(queries, -1)  # over per-head channels
 
-        # context: (B, heads, ck, cv); attended: (B, n, heads, cv)
-        context = jnp.einsum("bnhk,bnhv->bhkv", keys, values)
-        attended = jnp.einsum("bhkv,bnhk->bnhv", context, queries)
+        # context: (B, heads, ck, cv); attended: (B, H, W, heads, cv)
+        context = jnp.einsum("bxyhk,bxyhv->bhkv", keys, values)
+        attended = jnp.einsum("bhkv,bxyhk->bxyhv", context, queries)
         attended = attended.reshape(b, h, w, heads * cv)
 
         out = nn.Conv(
