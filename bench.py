@@ -55,7 +55,7 @@ def bench(verbose: bool = False) -> dict:
         variables,
     )
 
-    batch = 32
+    batch = 64
     k = 3  # forward passes per compiled program (statically unrolled)
 
     @jax.jit
