@@ -105,3 +105,25 @@ class TestTrainStep:
         orig = jax.device_get(state.params)
         for a, b in zip(jax.tree.leaves(orig), jax.tree.leaves(restored["params"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDcnMesh:
+    def test_2d_mesh_train_step(self):
+        """Multi-slice layout: 2-D (dcn, data) mesh, batch sharded over both
+        axes — the reference's unsupported multi-node case (SURVEY §2.3)."""
+        from uncertainty_model_tpu.parallel import create_mesh, shard_batch
+        from uncertainty_model_tpu.train import Trainer
+
+        mesh2d = create_mesh(dcn_axis="dcn", dcn_size=2)
+        assert mesh2d.shape == {"dcn": 2, "data": 4}
+
+        model = RandomlyConnectedModel.from_config(**TINY_MODEL)
+        trainer = Trainer(model, TINY_LOSS, mesh=mesh2d)
+        state = trainer.init_state(jax.random.PRNGKey(4), (1, *TINY_INPUT, 3))
+
+        batch = shard_batch(_batch(batch_size=8, seed=9), mesh2d)
+        state, metrics = trainer._train_step(
+            state, batch, jnp.float32(0.3), jnp.float32(1e-3), jnp.int32(0))
+        metrics = jax.device_get(metrics)
+        assert np.isfinite(float(metrics["disp_loss"]))
+        assert np.isfinite(float(metrics["error_loss"]))
