@@ -93,3 +93,26 @@ class TestCLI:
             "--no-pbar", "--home", data_home,
         ])
         main(args)  # must not raise
+
+    def test_bayesian_loss_config(self, data_home, tmp_path):
+        """BASELINE config #2: error_loss_config.loss_type=bayesian."""
+        import yaml
+
+        from uncertainty_model_tpu.cli.main import build_parser, main
+
+        with open("configs/tiny.yml") as f:
+            cfg = yaml.safe_load(f)
+        cfg["loss"]["error_loss_config"]["loss_type"] = "bayesian"
+        cfg_path = tmp_path / "bayesian.yml"
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+
+        args = build_parser().parse_args([
+            str(cfg_path), "da-vinci",
+            "--epochs", "1", "--batch-size", "8",
+            "--training-size", "8", "--validation-size", "4",
+            "--workers", "2", "--image-size", "32", "64",
+            "--evaluate-every", "10",
+            "--no-pbar", "--home", data_home,
+        ])
+        main(args)  # must train without NaNs/exceptions

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-ROWS_PER_PROGRAM = 8
+ROWS_PER_PROGRAM = 32
 
 
 def _fwd_kernel(xsrc_ref, srcv_ref, out_ref):
