@@ -13,13 +13,21 @@ from jax import lax
 
 
 def avg_pool2d(x: jnp.ndarray, kernel_size: int, stride: int = 1) -> jnp.ndarray:
-    """Valid average pooling over H, W of an NHWC array."""
-    window = (1, kernel_size, kernel_size, 1)
-    strides = (1, stride, stride, 1)
-    # init must be a literal zero for XLA's differentiable sum pattern
+    """Valid average pooling over H, W of an NHWC array.
+
+    Separable (1xk then kx1) — k reads per output instead of k^2; the sum is
+    exact up to f32 reassociation.
+    """
     import numpy as np
 
-    summed = lax.reduce_window(x, np.zeros((), x.dtype)[()], lax.add, window, strides, "VALID")
+    zero = np.zeros((), x.dtype)[()]  # literal: keeps the sum differentiable
+
+    summed = lax.reduce_window(
+        x, zero, lax.add, (1, kernel_size, 1, 1), (1, stride, 1, 1), "VALID"
+    )
+    summed = lax.reduce_window(
+        summed, zero, lax.add, (1, 1, kernel_size, 1), (1, 1, stride, 1), "VALID"
+    )
     return summed / (kernel_size * kernel_size)
 
 
