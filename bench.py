@@ -7,30 +7,33 @@ Prints ONE JSON line:
      "vs_baseline": N / 2000.0}
 
 Measures the flagship 22.5M-param model's jitted forward (full-resolution
-4-channel disparity+uncertainty output), bfloat16 matmuls with float32 IO.
+4-channel disparity+uncertainty output), bfloat16 matmuls with float32 IO,
+batch 128 (the activation layouts here put batch in the 128-wide lane
+dimension, so batch 64 padded half of every tile — measured +50% fps going
+64 -> 128).
 
-Timing methodology: this environment reaches the chip through a tunnel where
-``block_until_ready`` is not a reliable barrier and host<->device transfers
-carry ~30ms latency.  We therefore run K forward passes inside ONE compiled
-program (a sequential ``lax.fori_loop`` whose carry consumes each output),
-fetch a single scalar to force completion, and report the slope between two
-loop lengths — eliminating both dispatch latency and transfer cost.
+Timing methodology: see uncertainty_model_tpu/utils/benchmark.py — K
+chained (data-dependent, so not CSE-able) passes inside one compiled
+program, scalar-fetch barrier, slope between two loop lengths.  The
+round-1 version of this file ran K *identical* passes, which XLA collapsed
+into one, over-reporting fps by exactly 3x; its 1240.8 "fps" was really
+~414.  Honest history: f32 batch-64 baseline ~145 fps -> bf16+layout work
+~563 -> batch 128 ~844.
 """
 
 from __future__ import annotations
 
 import json
-import time
+import os
 
 
 def bench(verbose: bool = False) -> dict:
-    import os
-
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _load_config
     from uncertainty_model_tpu.models import RandomlyConnectedModel
+    from uncertainty_model_tpu.utils.benchmark import measure_forward
 
     jax.config.update("jax_default_matmul_precision", "bfloat16")
     # persistent compile cache: first run pays ~minutes of XLA compile
@@ -45,7 +48,7 @@ def bench(verbose: bool = False) -> dict:
 
     config = _load_config()
     # serve in bfloat16 — the MXU's native dtype (f32 convs are ~20x slower
-    # on v5e); f32 master params, bf16 compute (softmax/BN stats stay f32)
+    # on v5e); bf16 params for serving (softmax/BN stats stay f32)
     model = RandomlyConnectedModel.from_config(**config["model"], dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 512, 3)), disp_scale=1.0
@@ -55,42 +58,14 @@ def bench(verbose: bool = False) -> dict:
         variables,
     )
 
-    batch = 64
-    k = 3  # forward passes per compiled program (statically unrolled)
+    def apply_fn(variables, x):
+        return model.apply(variables, x, disp_scale=1.0)[0]
 
-    @jax.jit
-    def run(variables, x):
-        acc = jnp.float32(0)
-        x = x.astype(jnp.bfloat16)
-        for _ in range(k):
-            out = model.apply(variables, x, disp_scale=1.0)[0]
-            # consume every output in f32 (no DCE)
-            acc = acc + jnp.mean(out.astype(jnp.float32))
-        return acc
-
-    @jax.jit
-    def roundtrip(x):
-        return jnp.float32(0) + x[0, 0, 0, 0]
-
-    x = jnp.full((batch, 256, 512, 3), 0.5, jnp.float32)
-    log("compiling main program...")
-    float(run(variables, x))  # compile + warm
-    log("main program compiled")
-    float(roundtrip(x))
-    log("roundtrip compiled")
-
-    def timed(fn, *args, reps=3):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(*args))  # scalar fetch = completion barrier
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    overhead = timed(roundtrip, x)  # dispatch + tunnel latency
-    total = timed(run, variables, x)
-    per_pass = (total - overhead) / k
-    best_fps = batch / per_pass if per_pass > 0 else 0.0
+    batch = 128
+    log("compiling + measuring...")
+    sec_per_pass = measure_forward(apply_fn, variables, batch)
+    best_fps = batch / sec_per_pass
+    log(f"{sec_per_pass*1e3:.2f} ms/pass at batch {batch}")
 
     return {
         "metric": "inference_fps_per_chip",
