@@ -1,0 +1,85 @@
+"""Serving path (BN folding + gate precompute + s2d stages) must equal
+``model.apply(..., train=False)`` — the flax eval path that is itself
+golden-pinned against the PyTorch reference (tests/test_model_parity.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tiny_config import TINY_INPUT, TINY_MODEL
+
+from uncertainty_model_tpu.models import RandomlyConnectedModel
+from uncertainty_model_tpu.serving import make_serving_forward
+
+# tiny config but with the production kernel sizes in the early stages so
+# the space-to-depth path (k=7 -> 5x5, k=5 -> 3x3) is actually exercised
+S2D_MODEL = {
+    "encoder": {
+        **TINY_MODEL["encoder"],
+        "layers": [
+            {"in_channels": 3, "out_channels": 8, "kernel_size": 7, "heads": 2},
+            {"in_channels": 8, "out_channels": 8, "kernel_size": 5, "heads": 2},
+            *TINY_MODEL["encoder"]["layers"][2:],
+        ],
+    },
+    "decoder": TINY_MODEL["decoder"],
+}
+
+
+@pytest.fixture(scope="module")
+def trained_variables():
+    """Random-init variables with non-trivial batch statistics (a few
+    train-mode applies mutate the BN running stats, so BN folding is
+    actually tested against real means/vars)."""
+    model = RandomlyConnectedModel.from_config(**S2D_MODEL)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, *TINY_INPUT, 3))
+    variables = model.init(rng, x, disp_scale=1.0)
+    for i in range(3):
+        xi = jax.random.uniform(jax.random.PRNGKey(i + 1), (2, *TINY_INPUT, 3))
+        _, mutated = model.apply(variables, xi, disp_scale=1.0, train=True,
+                                 mutable=["batch_stats"])
+        variables = {"params": variables["params"], **mutated}
+    return model, variables
+
+
+class TestServingParity:
+    def test_f32_matches_eval_apply(self, trained_variables):
+        model, variables = trained_variables
+        x = jax.random.uniform(jax.random.PRNGKey(42), (2, *TINY_INPUT, 3))
+        ref = model.apply(variables, x, disp_scale=0.7)[0]
+
+        fwd, params = make_serving_forward(model, variables, dtype=None)
+        got = jax.jit(fwd, static_argnames=())(params, x, jnp.float32(0.7))
+
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_s2d_stages_equivalent(self, trained_variables):
+        model, variables = trained_variables
+        x = jax.random.uniform(jax.random.PRNGKey(7), (1, *TINY_INPUT, 3))
+
+        fwd_direct, p_direct = make_serving_forward(
+            model, variables, s2d_stages=(), dtype=None)
+        fwd_s2d, p_s2d = make_serving_forward(
+            model, variables, s2d_stages=(0, 1), dtype=None)
+
+        a = fwd_direct(p_direct, x)
+        b = fwd_s2d(p_s2d, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_bf16_is_finite_and_close(self, trained_variables):
+        model, variables = trained_variables
+        x = jax.random.uniform(jax.random.PRNGKey(3), (1, *TINY_INPUT, 3))
+        ref = model.apply(variables, x, disp_scale=1.0)[0]
+
+        fwd, params = make_serving_forward(model, variables, dtype=jnp.bfloat16)
+        got = np.asarray(fwd(params, x)).astype(np.float32)
+        assert np.isfinite(got).all()
+        # sigmoid-bounded disparity maps: bf16 end-to-end stays within a few
+        # representable steps of the f32 result
+        assert np.abs(got - np.asarray(ref)).max() < 0.05

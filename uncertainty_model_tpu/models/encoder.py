@@ -45,6 +45,7 @@ class RandomEncoder(nn.Module):
 
     graphs: tuple[GraphSpec, ...]
     layers: tuple[tuple[int, int, int], ...]  # per-stage (out_channels, kernel_size, heads)
+    s2d_stages: tuple[int, ...] = ()  # stages whose interior runs space-to-depth
     dtype: Optional[Any] = None
 
     @classmethod
@@ -55,6 +56,7 @@ class RandomEncoder(nn.Module):
         nodes: int = 5,
         seed: int = 42,
         save_graph: Optional[str] = None,
+        s2d_stages: Sequence[int] = (),
         dtype: Optional[Any] = None,
     ) -> "RandomEncoder":
         graphs = resolve_encoder_graphs(
@@ -65,7 +67,8 @@ class RandomEncoder(nn.Module):
             (cfg["out_channels"], cfg["kernel_size"], cfg.get("heads", 8))
             for cfg in layers
         )
-        return cls(graphs=graphs, layers=frozen, dtype=dtype)
+        return cls(graphs=graphs, layers=frozen,
+                   s2d_stages=tuple(s2d_stages), dtype=dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> tuple[jnp.ndarray, ...]:
@@ -75,8 +78,9 @@ class RandomEncoder(nn.Module):
             out = out.astype(self.dtype)
         for i, (graph, (out_ch, kernel, heads)) in enumerate(zip(self.graphs, self.layers)):
             out = EncoderStage(
-                graph, out_ch, kernel, heads=heads, dtype=self.dtype,
-                name=f"stage_{i}",
+                graph, out_ch, kernel, heads=heads,
+                s2d=(i in self.s2d_stages and kernel >= 5),
+                dtype=self.dtype, name=f"stage_{i}",
             )(out, train=train)
             encodings.append(out)
         return tuple(encodings)

@@ -61,33 +61,61 @@ class ConvBNELU(nn.Module):
 
     The symmetric zero padding of (k-1)//2 is folded into the conv's explicit
     padding so XLA sees a single conv op.
+
+    ``s2d=True`` runs the (stride-1) conv in the 2x2 space-to-depth domain
+    (input/output are s2d tensors; see ops/s2d.py): the kernel is transformed
+    in-graph (differentiable — each original tap maps injectively into the
+    s2d kernel, so gradients accumulate exactly), and BatchNorm sees the
+    tensor reshaped to (..., 4, C) so its statistics are computed per
+    ORIGINAL channel over all four phases — identical semantics to the
+    direct path, with full 128-lane conv operands on TPU.  Parameter shapes
+    and names are unchanged in both modes (checkpoint-compatible).
     """
 
     out_channels: int
     kernel_size: int
     stride: int = 1
+    s2d: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from jax import lax
+
+        from ..ops import s2d_bias, s2d_conv_kernel
+
         k = self.kernel_size
-        p = (k - 1) // 2
-        fan_in = x.shape[-1] * k * k
-        x = nn.Conv(
-            self.out_channels,
-            (k, k),
-            strides=(self.stride, self.stride),
-            padding=[(p, p), (p, p)],
-            kernel_init=xavier_uniform,
-            bias_init=torch_fanin_uniform(fan_in),
-            dtype=self.dtype,
-            name="conv",
-        )(_maybe_barrier(x))
+        phases = 4 if self.s2d else 1
+        in_channels = x.shape[-1] // phases
+
+        kernel, bias = _ConvParams(
+            in_channels, self.out_channels, k, name="conv"
+        )()
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+
+        if self.s2d:
+            assert self.stride == 1, "s2d path is for the stride-1 interior"
+            kernel, bias = s2d_conv_kernel(kernel), s2d_bias(bias)
+        p = (kernel.shape[0] - 1) // 2
+        x = lax.conv_general_dilated(
+            _maybe_barrier(x), kernel, (self.stride, self.stride),
+            [(p, p), (p, p)], dimension_numbers=_DN,
+        ) + bias
+
+        if self.s2d:
+            b_, h_, w_, _ = x.shape
+            x = x.reshape(b_, h_, w_, 4, self.out_channels)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             use_fast_variance=False, dtype=self.dtype, name="bn"
         )(x)
-        return nn.elu(x)
+        x = nn.elu(x)
+        if self.s2d:
+            x = x.reshape(b_, h_, w_, 4 * self.out_channels)
+        return x
 
 
 def _resize_reflect(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
@@ -114,6 +142,7 @@ class NodeBlock(nn.Module):
     out_channels: int
     kernel_size: int
     parity_weight_indexing: bool = True
+    s2d: bool = False  # non-input nodes only: operate in the s2d domain
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -129,6 +158,7 @@ class NodeBlock(nn.Module):
             out = gates[0] * inputs[0]
             for i, x in enumerate(inputs[1:]):
                 if x.shape[1] != out.shape[1]:
+                    assert not self.s2d, "s2d nodes must share one resolution"
                     x = _resize_reflect(x, out.shape[1], out.shape[2])
                 idx = i if self.parity_weight_indexing else i + 1
                 out = out + gates[idx] * x
@@ -138,7 +168,7 @@ class NodeBlock(nn.Module):
         stride = 2 if self.node.node_type == "input" else 1
         return ConvBNELU(
             self.out_channels, self.kernel_size, stride=stride,
-            dtype=self.dtype, name="conv_block",
+            s2d=self.s2d and stride == 1, dtype=self.dtype, name="conv_block",
         )(out, train=train)
 
 
@@ -152,13 +182,17 @@ class GraphBlock(nn.Module):
     graph: GraphSpec
     out_channels: int
     kernel_size: int
+    s2d: bool = False  # run the stride-1 interior in the s2d domain
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from ..ops import depth_to_space, space_to_depth
+
         blocks = {
             node.id: NodeBlock(
                 node, self.out_channels, self.kernel_size,
+                s2d=self.s2d and node.node_type != "input",
                 dtype=self.dtype, name=f"node_{node.id}",
             )
             for node in self.graph.nodes
@@ -166,7 +200,8 @@ class GraphBlock(nn.Module):
 
         results: dict[int, jnp.ndarray] = {}
         for idx in self.graph.in_nodes:
-            results[idx] = blocks[idx](x, train=train)
+            r = blocks[idx](x, train=train)
+            results[idx] = space_to_depth(r) if self.s2d else r
 
         for node in self.graph.nodes:
             if node.id in results:
@@ -184,7 +219,8 @@ class GraphBlock(nn.Module):
                 r = _resize_reflect(r, out.shape[1], out.shape[2])
             out = out + r
 
-        return out / len(self.graph.out_nodes)
+        out = out / len(self.graph.out_nodes)
+        return depth_to_space(out) if self.s2d else out
 
 
 class EfficientAttention(nn.Module):
@@ -261,12 +297,13 @@ class EncoderStage(nn.Module):
     out_channels: int
     kernel_size: int
     heads: int = 8
+    s2d: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = GraphBlock(self.graph, self.out_channels, self.kernel_size,
-                       dtype=self.dtype, name="graph")(x, train=train)
+                       s2d=self.s2d, dtype=self.dtype, name="graph")(x, train=train)
         return EfficientAttention(
             self.out_channels, self.out_channels, self.heads,
             dtype=self.dtype, name="attention",

@@ -19,12 +19,15 @@ class RandomlyConnectedModel(nn.Module):
     decoder: DepthDecoder
 
     @classmethod
-    def from_config(cls, encoder: dict, decoder: dict,
-                    dtype=None) -> "RandomlyConnectedModel":
+    def from_config(cls, encoder: dict, decoder: dict, dtype=None,
+                    s2d_stages=()) -> "RandomlyConnectedModel":
         """``dtype`` selects the on-device compute precision (bfloat16 for
-        serving/mixed-precision training); parameters stay float32."""
+        serving/mixed-precision training); parameters stay float32.
+        ``s2d_stages`` runs those encoder stages' interiors space-to-depth
+        (TPU layout optimisation; exact up to float reassociation)."""
         return cls(
-            encoder=RandomEncoder.from_config(**encoder, dtype=dtype),
+            encoder=RandomEncoder.from_config(**encoder, dtype=dtype,
+                                              s2d_stages=s2d_stages),
             decoder=DepthDecoder.from_config(**decoder, dtype=dtype),
         )
 

@@ -14,11 +14,14 @@ from .warp import (
     reconstruct_left_image,
     reconstruct_right_image,
     reconstruct_pyramid,
+    reconstruct_pyramid_with_lr,
+    reconstruct_stereo_with_lr,
 )
 from .pool import avg_pool2d, global_avg_pool
 from .pad import pad2d
 from .conv import conv2d, reflect_conv2d
 from .shuffle import pixel_shuffle
+from .s2d import depth_to_space, s2d_bias, s2d_conv_kernel, space_to_depth
 
 __all__ = [
     "resize_bilinear",
@@ -27,10 +30,16 @@ __all__ = [
     "reconstruct_left_image",
     "reconstruct_right_image",
     "reconstruct_pyramid",
+    "reconstruct_pyramid_with_lr",
+    "reconstruct_stereo_with_lr",
     "avg_pool2d",
     "global_avg_pool",
     "pad2d",
     "conv2d",
     "reflect_conv2d",
     "pixel_shuffle",
+    "space_to_depth",
+    "depth_to_space",
+    "s2d_conv_kernel",
+    "s2d_bias",
 ]
