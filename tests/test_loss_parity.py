@@ -10,6 +10,8 @@ from uncertainty_model_tpu.ops import reconstruct_pyramid, scale_pyramid
 
 from reference_harness import import_reference
 
+pytestmark = [pytest.mark.golden]
+
 ref = pytest.importorskip("reference_harness").import_reference()
 torch = pytest.importorskip("torch")
 

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 from uncertainty_model_tpu.train.metrics import gaussian_ssim
 
+pytestmark = [pytest.mark.golden]
+
 torch = pytest.importorskip("torch")
 
 

@@ -25,3 +25,38 @@ class TestPyramidUtils:
 
         g = jax.grad(f)(jnp.ones((2, 2)))
         np.testing.assert_allclose(np.asarray(g), 1.0)  # only the direct term
+
+
+class TestFusedConsistencyWarp:
+    def test_fused_equals_separate(self):
+        """reconstruct_pyramid_with_lr must equal reconstruct_pyramid +
+        consistency's own warps channel-for-channel (the fusion only stacks
+        sources into one kernel call)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from uncertainty_model_tpu.ops import (
+            reconstruct_left_image,
+            reconstruct_pyramid,
+            reconstruct_pyramid_with_lr,
+            reconstruct_right_image,
+        )
+
+        rng = np.random.default_rng(0)
+        disps, pyr = [], []
+        for h, w in ((16, 32), (8, 16)):
+            disps.append(jnp.asarray(
+                rng.uniform(0, 0.3, size=(2, h, w, 4)).astype(np.float32)))
+            pyr.append(jnp.asarray(
+                rng.uniform(size=(2, h, w, 6)).astype(np.float32)))
+
+        recon_sep = reconstruct_pyramid(disps, pyr)
+        recon_fused, lr = reconstruct_pyramid_with_lr(disps, pyr)
+
+        for a, b in zip(recon_sep, recon_fused):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for d, l in zip(disps, lr):
+            left_lr = reconstruct_left_image(d[..., 0:1], d[..., 1:2])
+            right_lr = reconstruct_right_image(d[..., 1:2], d[..., 0:1])
+            np.testing.assert_array_equal(np.asarray(l[..., 0:1]), np.asarray(left_lr))
+            np.testing.assert_array_equal(np.asarray(l[..., 1:2]), np.asarray(right_lr))

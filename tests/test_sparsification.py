@@ -10,6 +10,8 @@ from uncertainty_model_tpu.train import sparsification as spars
 
 from reference_harness import import_reference
 
+pytestmark = [pytest.mark.golden]
+
 ref = pytest.importorskip("reference_harness").import_reference()
 torch = pytest.importorskip("torch")
 

@@ -20,6 +20,8 @@ from uncertainty_model_tpu.train.convert import convert_model_state_dict
 
 from reference_harness import import_reference
 
+pytestmark = [pytest.mark.golden, pytest.mark.slow]
+
 ref = pytest.importorskip("reference_harness").import_reference()
 torch = pytest.importorskip("torch")
 

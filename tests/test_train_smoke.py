@@ -93,17 +93,49 @@ class TestTrainStep:
         assert (tmp_path / "epoch_001" / "prediction.png").exists()
 
     def test_checkpoint_roundtrip(self, mesh, tmp_path):
+        """Params, Adam moments and the epoch number all survive a
+        save/restore, and a restored run continues *identically* to an
+        uninterrupted one (the reference restores weights only,
+        main.py:126-137 — resume there restarts the optimiser)."""
+        from uncertainty_model_tpu.parallel import shard_batch
         from uncertainty_model_tpu.train import load_checkpoint, save_checkpoint
 
         model = RandomlyConnectedModel.from_config(**TINY_MODEL)
         trainer = Trainer(model, TINY_LOSS, mesh=mesh)
         state = trainer.init_state(jax.random.PRNGKey(3), (1, *TINY_INPUT, 3))
 
+        # one step so the Adam moments are non-trivial
+        batch = shard_batch(_batch(seed=3), mesh)
+        state, _ = trainer._train_step(
+            state, batch, jnp.float32(0.3), jnp.float32(1e-3), jnp.int32(0))
+
         path = save_checkpoint(str(tmp_path), state, epoch_number=7)
         restored = load_checkpoint(path)
+        assert int(restored["epoch"]) == 7
 
         orig = jax.device_get(state.params)
         for a, b in zip(jax.tree.leaves(orig), jax.tree.leaves(restored["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # optimizer moments survive
+        orig_opt = jax.device_get(state.opt_state)
+        assert restored["opt_state"] is not None
+        for a, b in zip(jax.tree.leaves(orig_opt),
+                        jax.tree.leaves(restored["opt_state"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # a restored state steps to bit-identical params
+        resumed = trainer.load_state(
+            {"params": restored["params"],
+             "batch_stats": restored["batch_stats"],
+             "opt_state": restored["opt_state"]})
+        batch2 = shard_batch(_batch(seed=4), mesh)
+        cont, _ = trainer._train_step(
+            state, batch2, jnp.float32(0.3), jnp.float32(1e-3), jnp.int32(1))
+        res, _ = trainer._train_step(
+            resumed, batch2, jnp.float32(0.3), jnp.float32(1e-3), jnp.int32(1))
+        for a, b in zip(jax.tree.leaves(jax.device_get(cont.params)),
+                        jax.tree.leaves(jax.device_get(res.params))):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

@@ -12,6 +12,8 @@ from uncertainty_model_tpu.utils import (
 
 from reference_harness import import_reference
 
+pytestmark = [pytest.mark.golden]
+
 ref = pytest.importorskip("reference_harness").import_reference()
 torch = pytest.importorskip("torch")
 

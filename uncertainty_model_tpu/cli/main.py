@@ -154,10 +154,12 @@ def main(args: argparse.Namespace) -> None:
         else:
             restored = load_checkpoint(args.finetune_from)
             model_vars = {"params": restored["params"],
-                          "batch_stats": restored["batch_stats"]}
+                          "batch_stats": restored["batch_stats"],
+                          "opt_state": restored.get("opt_state")}
             disc_vars = (
                 {"params": restored["disc_params"],
-                 "batch_stats": restored["disc_batch_stats"]}
+                 "batch_stats": restored["disc_batch_stats"],
+                 "opt_state": restored.get("disc_opt_state")}
                 if "disc_params" in restored else None
             )
         state = trainer.load_state(model_vars, disc_vars)
@@ -171,15 +173,19 @@ def main(args: argparse.Namespace) -> None:
         n_disc = sum(p.size for p in jax.tree.leaves(state.disc_params))
         print(f"Discriminator has {n_disc:,} learnable parameters.")
 
+    # output directories are rank-0-only, like every save path (the
+    # reference's rank gating: train/train.py:245-265)
     date = datetime.now().strftime("%Y%m%d%H%M%S")
     folder = f"model_{date}"
-    model_directory = (os.path.join(args.save_model_to, folder)
-                       if args.save_model_to else None)
-    results_directory = (os.path.join(args.save_results_to, folder)
-                         if args.save_results_to else None)
-    for d in (model_directory, results_directory):
-        if d:
-            os.makedirs(d, exist_ok=True)
+    model_directory = results_directory = None
+    if jax.process_index() == 0:
+        model_directory = (os.path.join(args.save_model_to, folder)
+                           if args.save_model_to else None)
+        results_directory = (os.path.join(args.save_results_to, folder)
+                             if args.save_results_to else None)
+        for d in (model_directory, results_directory):
+            if d:
+                os.makedirs(d, exist_ok=True)
 
     state, training_losses, validation_metrics = trainer.train_model(
         state, train_loader, args.epochs, args.learning_rate,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .adversarial import generator_loss, perceptual_loss
-from .consistency import consistency_loss
+from .consistency import consistency_loss, l1_loss
 from .reprojection import reprojection_error_loss
 from .smoothness import smoothness_loss
 from .wssim import wssim_loss
@@ -54,7 +54,12 @@ class TukraUncertaintyLoss:
         step: Optional[jnp.ndarray] = None,
         disc_apply: Optional[Callable] = None,
         disc_features: Optional[Callable] = None,
+        lr_pyramid: Optional[Sequence[jnp.ndarray]] = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """``lr_pyramid``: optional precomputed LR-consistency warps (the
+        trainer fuses them into the reconstruction warp,
+        ops/warp.py reconstruct_pyramid_with_lr — identical values, one warp
+        kernel instead of two).  When absent the warps run here."""
         error_cfg = dict(self.error_loss_config or {})
 
         reprojection = 0.0
@@ -69,7 +74,14 @@ class TukraUncertaintyLoss:
 
             scale_wssim, image_error = wssim_loss(images, recon, self.wssim_alpha)
             reprojection = reprojection + scale_wssim
-            consistency = consistency + consistency_loss(disparity)
+            if lr_pyramid is not None:
+                lr = lr_pyramid[i]
+                consistency = consistency + (
+                    l1_loss(disparity[..., 0:1], lr[..., 0:1])
+                    + l1_loss(disparity[..., 1:2], lr[..., 1:2])
+                )
+            else:
+                consistency = consistency + consistency_loss(disparity)
             smoothness = smoothness + smoothness_loss(disparity, images) / (2**i)
             error_loss = error_loss + reprojection_error_loss(
                 prediction, images, image_error, **error_cfg

@@ -47,6 +47,11 @@ def wssim_image_error(images: jnp.ndarray, recon: jnp.ndarray,
                       alpha: float = 0.85) -> jnp.ndarray:
     """Per-pixel weighted stereo error ``alpha*DSSIM + (1-alpha)*L1``.
 
+    SSIM is per-channel, so the five pooled statistics of both views are
+    computed by ONE stacked 30-channel pool instead of 2 views x 5 separate
+    3-channel pools — identical values (reduce_window is channelwise), 10x
+    fewer pool ops in the fwd+bwd graph.
+
     Args:
         images / recon: (B, H, W, 6) stereo pairs (left = ch 0:3, right 3:6).
         alpha: SSIM weight.
@@ -58,13 +63,21 @@ def wssim_image_error(images: jnp.ndarray, recon: jnp.ndarray,
 
     l1_error = jnp.abs(images - recon)
 
-    ssim_error = jnp.concatenate(
-        [
-            dssim(images[..., 0:3], recon[..., 0:3]),
-            dssim(images[..., 3:6], recon[..., 3:6]),
-        ],
-        axis=-1,
+    x, y = images, recon
+    pooled = avg_pool2d(
+        jnp.concatenate([x, y, x * x, y * y, x * y], axis=-1), 3
     )
+    mu_x, mu_y, m_xx, m_yy, m_xy = [
+        pooled[..., 6 * i:6 * (i + 1)] for i in range(5)
+    ]
+    mu_xx, mu_yy, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sigma_x = m_xx - mu_xx
+    sigma_y = m_yy - mu_yy
+    sigma_xy = m_xy - mu_xy
+    ssim_map = ((2 * mu_xy + _K1) * (2 * sigma_xy + _K2)) / (
+        (mu_xx + mu_yy + _K1) * (sigma_x + sigma_y + _K2)
+    )
+    ssim_error = jnp.clip((1 - ssim_map) / 2, 0.0, 1.0)
     ssim_error = resize_bilinear(ssim_error, (h, w))
 
     total = alpha * ssim_error + (1 - alpha) * l1_error

@@ -33,14 +33,15 @@ ROWS_PER_PROGRAM = 32
 def _fwd_kernel(xsrc_ref, srcv_ref, out_ref):
     # xsrc: (R, W) f32 pixel coords; srcv: (R, C, W); out: (R, C, W)
     r_rows, width = xsrc_ref.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (width, width), 1)  # k on lanes
+    # bilinear hat: M[j,k] = max(0, 1 - |x_j - k|) — identical to the
+    # floor/one-hot construction ((k==x0)(1-t) + (k==x0+1)t) but built with
+    # one |diff| instead of two integer compares + selects; the M build is
+    # the kernel's dominant (VPU) cost
+    col = jax.lax.broadcasted_iota(jnp.float32, (width, width), 1)  # k on lanes
 
     def body(r, _):
         x = xsrc_ref[r, :]
-        x0f = jnp.floor(x)
-        t = (x - x0f)[:, None]  # (W_out, 1)
-        x0 = x0f.astype(jnp.int32)[:, None]
-        m = jnp.where(col == x0, 1.0 - t, 0.0) + jnp.where(col == x0 + 1, t, 0.0)
+        m = jnp.maximum(1.0 - jnp.abs(x[:, None] - col), 0.0)  # (W_out, W_in)
         src = srcv_ref[r].astype(jnp.float32)  # (C, W_in)
         out_ref[r] = jax.lax.dot_general(
             src, m, (((1,), (1,)), ((), ())),
@@ -53,16 +54,20 @@ def _fwd_kernel(xsrc_ref, srcv_ref, out_ref):
 
 def _bwd_kernel(xsrc_ref, srcv_ref, dout_ref, dsrc_ref, ddisp_ref):
     r_rows, width = xsrc_ref.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (width, width), 1)
+    col = jax.lax.broadcasted_iota(jnp.float32, (width, width), 1)
 
     def body(r, _):
-        x = xsrc_ref[r, :]
-        x0f = jnp.floor(x)
-        t = (x - x0f)[:, None]
-        x0 = x0f.astype(jnp.int32)[:, None]
-        m_a = jnp.where(col == x0, 1.0, 0.0)       # (W_out, W_in)
-        m_b = jnp.where(col == x0 + 1, 1.0, 0.0)
-        m = m_a * (1.0 - t) + m_b * t
+        x = xsrc_ref[r, :][:, None]                 # (W_out, 1)
+        band = 1.0 - jnp.abs(x - col)               # (W_out, W_in)
+        m = jnp.maximum(band, 0.0)
+        # dM/dx: -1 at the floor tap, +1 at floor+1 — i.e. sign(k - x) on
+        # the half-open tap window k in (x-1, x+1] (matches the one-hot
+        # formulation exactly, including integer x where t == 0)
+        dm = jnp.where(
+            (col > x - 1.0) & (col <= x + 1.0),
+            jnp.where(col > x, 1.0, -1.0),
+            0.0,
+        )
 
         dout = dout_ref[r].astype(jnp.float32)     # (C, W_out)
         src = srcv_ref[r].astype(jnp.float32)      # (C, W_in)
@@ -73,9 +78,9 @@ def _bwd_kernel(xsrc_ref, srcv_ref, dout_ref, dsrc_ref, ddisp_ref):
             preferred_element_type=jnp.float32,
         ).astype(dsrc_ref.dtype)
 
-        # d(out)/d(xsrc) = src@(m_b - m_a)^T per j (dt/dxsrc = 1)
+        # d(out)/d(xsrc) per output pixel (dt/dxsrc = 1)
         slope = jax.lax.dot_general(
-            src, m_b - m_a, (((1,), (1,)), ((), ())),
+            src, dm, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (C, W_out)
         ddisp_ref[r] = jnp.sum(dout * slope, axis=0).astype(ddisp_ref.dtype)

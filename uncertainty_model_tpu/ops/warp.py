@@ -150,3 +150,33 @@ def reconstruct_stereo(disparity: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarr
 def reconstruct_pyramid(disparities, pyramid):
     """Apply :func:`reconstruct_stereo` to each scale of the pyramid."""
     return [reconstruct_stereo(d, im) for d, im in zip(disparities, pyramid)]
+
+
+def reconstruct_stereo_with_lr(disparity: jnp.ndarray, images: jnp.ndarray):
+    """:func:`reconstruct_stereo` fused with the LR-consistency warps.
+
+    The consistency loss (reference train/loss.py:167-188) warps the
+    *opposite-view disparity* with the exact same field the image
+    reconstruction uses, so both sample through one kernel invocation with
+    the disparity stacked as a 4th source channel — per-channel numerics are
+    identical to separate calls, but the warp matrix is built once instead
+    of twice (it dominates the warp cost, ops/pallas/warp.py).
+
+    Returns ``(recon (..., 6), lr (..., 2))`` where ``lr[..., 0]`` is the
+    left disparity reconstructed from the right (and vice versa).
+    """
+    left_src = jnp.concatenate([images[..., 3:6], disparity[..., 1:2]], axis=-1)
+    right_src = jnp.concatenate([images[..., 0:3], disparity[..., 0:1]], axis=-1)
+    left = reconstruct_left_image(disparity[..., 0], left_src)
+    right = reconstruct_right_image(disparity[..., 1], right_src)
+    recon = jnp.concatenate([left[..., :3], right[..., :3]], axis=-1)
+    lr = jnp.concatenate([left[..., 3:4], right[..., 3:4]], axis=-1)
+    return recon, lr
+
+
+def reconstruct_pyramid_with_lr(disparities, pyramid):
+    """Fused recon + LR-consistency warps per scale; returns
+    ``(recon_pyramid, lr_pyramid)``."""
+    pairs = [reconstruct_stereo_with_lr(d, im)
+             for d, im in zip(disparities, pyramid)]
+    return [p[0] for p in pairs], [p[1] for p in pairs]

@@ -1,9 +1,13 @@
 """Checkpointing (reference train/train.py:18-48, main.py:126-137).
 
-Orbax-backed save/restore of the full train state (params + batch stats +
-optimiser state — strictly more than the reference, which saves weights
-only).  Checkpoints are directories named ``epoch_{NNN:03}`` / ``final``
-mirroring the reference's ``.pt`` naming.
+Orbax-backed save/restore of the full train state: params + batch stats +
+optimiser state + epoch number — strictly more than the reference, which
+saves weights only (its finetune path restarts Adam moments and schedules
+from scratch, main.py:126-137).  Restoring an orbax checkpoint therefore
+continues training *identically* to an uninterrupted run; restoring a
+reference ``.pt`` reproduces the reference's weights-only semantics.
+Checkpoints are directories named ``epoch_{NNN:03}`` / ``final`` mirroring
+the reference's ``.pt`` naming.
 
 ``load_torch_checkpoint`` restores reference ``.pt`` files through the
 torch->flax converter, covering the reference's finetune path with DDP
@@ -33,10 +37,14 @@ def save_checkpoint(directory: str, state, epoch_number: Optional[int] = None,
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
     }
+    if epoch_number is not None:
+        payload["epoch"] = epoch_number
     if state.disc_params is not None:
         payload["disc_params"] = state.disc_params
         payload["disc_batch_stats"] = state.disc_batch_stats
+        payload["disc_opt_state"] = state.disc_opt_state
 
     print(f"Saving model to:\n\t{path}")
     _checkpointer().save(path, jax.device_get(payload), force=True)

@@ -119,7 +119,15 @@ def evaluate_model(
     averages = dict(running)
     key = jax.random.PRNGKey(seed)
 
-    for i, batch in enumerate(loader):
+    iterator = loader
+    tepoch = None
+    if process_index == 0 and not no_pbar:
+        import tqdm
+
+        tepoch = tqdm.tqdm(loader, "Evaluation", unit="batch")
+        iterator = tepoch
+
+    for i, batch in enumerate(iterator):
         batch_size = batch["left"].shape[0]
         if mesh is not None:
             batch = shard_batch(batch, mesh)
@@ -127,6 +135,10 @@ def evaluate_model(
         metrics, viz = _eval_step(model, variables, batch, jnp.float32(scale), subkey)
 
         if process_index > 0:
+            # Rank-0-only metric accumulation matches the reference
+            # (train/evaluate.py:121,162): under multi-host DP each process
+            # still computes the jitted step (its devices hold batch shards
+            # GSPMD needs), but only process 0 aggregates and reports.
             continue
 
         metrics = jax.device_get(metrics)
@@ -141,6 +153,12 @@ def evaluate_model(
             "ause": running["ause"] / (i + 1),
             "aurg": running["aurg"] / (i + 1),
         }
+
+        if tepoch is not None:
+            tepoch.set_postfix(
+                ssim=(averages["left_ssim"] + averages["right_ssim"]) / 2,
+                ause=averages["ause"], aurg=averages["aurg"],
+            )
 
         if save_evaluation_to is not None and i == 0:
             save_comparisons(

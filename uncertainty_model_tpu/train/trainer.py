@@ -28,7 +28,7 @@ import optax
 from flax import struct
 
 from ..losses import TukraUncertaintyLoss, discriminator_loss
-from ..ops import reconstruct_pyramid, scale_pyramid
+from ..ops import reconstruct_pyramid_with_lr, scale_pyramid
 from ..parallel.mesh import create_mesh, replicate_tree, shard_batch
 from ..utils.schedules import adjust_disparity, learning_rate_for_epoch
 
@@ -106,15 +106,36 @@ class Trainer:
 
     def load_state(self, variables: dict, disc_variables: Optional[dict] = None) -> TrainState:
         """Build a TrainState from converted/restored variables (finetune
-        path, reference main.py:126-137)."""
+        path, reference main.py:126-137).
+
+        When the restored payload carries an ``opt_state`` (orbax checkpoints
+        written by :func:`save_checkpoint`), the Adam moments are restored so
+        training resumes identically to an uninterrupted run; reference
+        ``.pt`` restores carry weights only and reproduce the reference's
+        fresh-optimiser finetune semantics.
+        """
         params = variables["params"]
+
+        def restore_opt(restored, p):
+            fresh = self.tx.init(p)
+            if restored is None:
+                return fresh
+            # orbax restores optax namedtuples as plain dicts; rebuild the
+            # structure from a freshly-initialised template (leaf order is
+            # preserved because both trees have identical shape)
+            return jax.tree.unflatten(
+                jax.tree.structure(fresh), jax.tree.leaves(restored)
+            )
+
         state = TrainState(
             params=params,
             batch_stats=variables["batch_stats"],
-            opt_state=self.tx.init(params),
+            opt_state=restore_opt(variables.get("opt_state"), params),
             disc_params=disc_variables["params"] if disc_variables else None,
             disc_batch_stats=disc_variables["batch_stats"] if disc_variables else None,
-            disc_opt_state=self.tx.init(disc_variables["params"]) if disc_variables else None,
+            disc_opt_state=restore_opt(
+                disc_variables.get("opt_state"), disc_variables["params"]
+            ) if disc_variables else None,
             disc_lag_params=jax.tree.map(jnp.copy, disc_variables["params"])
             if disc_variables
             else None,
@@ -155,7 +176,10 @@ class Trainer:
             )
             # losses always in f32 (model compute may be bf16 mixed precision)
             disparities = [d.astype(jnp.float32) for d in disparities]
-            recon_pyramid = reconstruct_pyramid(disparities, image_pyramid)
+            # recon + LR-consistency warps fused (same warp fields)
+            recon_pyramid, lr_pyramid = reconstruct_pyramid_with_lr(
+                disparities, image_pyramid
+            )
 
             disc_apply = disc_features = None
             if adversarial:
@@ -175,6 +199,7 @@ class Trainer:
             disp_loss, error_loss = self.loss(
                 image_pyramid, disparities, recon_pyramid,
                 step=step_idx, disc_apply=disc_apply, disc_features=disc_features,
+                lr_pyramid=lr_pyramid,
             )
             total = disp_loss + error_loss
             aux = (mutated["batch_stats"], disp_loss, error_loss, recon_pyramid)
@@ -246,8 +271,14 @@ class Trainer:
         log_every: int = 0,
         progress: Optional[Callable[[dict], None]] = None,
         pbar: bool = False,
+        metrics_every: int = 10,
     ):
         """One pass over the loader (reference train/train.py:51-170).
+
+        Per-step loss scalars stay on device and are fetched every
+        ``metrics_every`` batches — a per-step ``device_get`` would serialise
+        dispatch behind the host<->device link (~30 ms/step through this
+        environment's tunnel).
 
         Returns (state, per-image average losses dict).
         """
@@ -255,6 +286,7 @@ class Trainer:
         n_images = 0
         averages = {"disp": float("nan"), "unc": float("nan"), "disc": None,
                     "scale": disp_scale}  # value when the loader is empty
+        pending: list = []  # device-side metric dicts awaiting fetch
 
         iterator = loader
         tepoch = None
@@ -266,6 +298,19 @@ class Trainer:
             tepoch = tqdm.tqdm(loader, description, unit="batch")
             iterator = tepoch
 
+        def drain():
+            for fetched in jax.device_get(pending):
+                for key in ("disp_loss", "error_loss", "disc_loss"):
+                    if key in fetched:
+                        running[key] += float(fetched[key])
+            pending.clear()
+            return {
+                "disp": running["disp_loss"] / n_images,
+                "unc": running["error_loss"] / n_images,
+                "disc": running["disc_loss"] / n_images if self.disc else None,
+                "scale": disp_scale,
+            }
+
         for i, batch in enumerate(iterator):
             sharded = shard_batch(batch, self.mesh)
             state, metrics = self._train_step(
@@ -273,16 +318,10 @@ class Trainer:
             )
 
             n_images += batch["left"].shape[0]
-            metrics = jax.device_get(metrics)
-            for key in ("disp_loss", "error_loss", "disc_loss"):
-                if key in metrics:
-                    running[key] += float(metrics[key])
-            averages = {
-                "disp": running["disp_loss"] / n_images,
-                "unc": running["error_loss"] / n_images,
-                "disc": running["disc_loss"] / n_images if self.disc else None,
-                "scale": disp_scale,
-            }
+            pending.append(metrics)
+            if (i + 1) % max(metrics_every, 1) != 0:
+                continue
+            averages = drain()
             if tepoch is not None:
                 tepoch.set_postfix(disp=averages["disp"], unc=averages["unc"],
                                    disc=averages["disc"], scale=disp_scale)
@@ -294,6 +333,8 @@ class Trainer:
                     f"disp={averages['disp']:.2e} unc={averages['unc']:.2e}"
                 )
 
+        if pending:
+            averages = drain()
         return state, averages
 
     def train_model(
