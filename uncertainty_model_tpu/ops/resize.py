@@ -66,40 +66,28 @@ def _upsample2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Exact 2x align_corners upsample along ``axis`` without gathers or
     matmuls.
 
-    For out = 2*in, every source index lands in {i-1, i, i+1} of the output
-    pair base i (src spacing is (in-1)/(2in-1) < 1/2), so each output parity
-    class is a static SELECT among {x_prev, x, x_next} followed by the same
-    ``lo + frac*(hi - lo)`` lerp as the gather path — bit-identical values,
-    but pure slice/select/lerp ops (the dense-matmul lowering measured
-    20 ms/pass on the batch-128 serving trace for one decoder stage; this is
-    bandwidth-bound at ~3 tensor passes)."""
+    For out = 2*in the taps are monotone per output parity: even outputs
+    lerp between ``x[i-1]`` and ``x[i]``, odd outputs between ``x[i]`` and
+    ``x[i+1]`` (at the edges the parity's frac is 0 so the replicated
+    neighbour is weightless).  That makes each parity ONE shift + ONE fused
+    lerp — bit-identical to the gather formulation (the frac vectors are the
+    same ``_lerp_coeffs`` arrays, parity-split) with no selects.
+    """
     n = x.shape[axis]
-    lo, hi, frac = _lerp_coeffs(2 * n, n)
-    base = np.arange(n)
-
-    x_prev = _shift_axis(x, axis, -1)
-    x_next = _shift_axis(x, axis, +1)
+    _, _, frac = _lerp_coeffs(2 * n, n)
 
     bshape = [1] * x.ndim
     bshape[axis] = n
+    w_even = jnp.asarray(frac[0::2].reshape(bshape)).astype(x.dtype)
+    w_odd = jnp.asarray(frac[1::2].reshape(bshape)).astype(x.dtype)
 
-    outs = []
-    for parity in (0, 1):
-        l, h_, f = lo[parity::2], hi[parity::2], frac[parity::2]
-        assert np.all((l >= base - 1) & (l <= base + 1)), "2x tap invariant"
-        assert np.all((h_ >= base - 1) & (h_ <= base + 1)), "2x tap invariant"
-
-        def pick(idx):
-            sel_prev = jnp.asarray((idx == base - 1).reshape(bshape))
-            sel_next = jnp.asarray((idx == base + 1).reshape(bshape))
-            return jnp.where(sel_prev, x_prev, jnp.where(sel_next, x_next, x))
-
-        x_lo, x_hi = pick(l), pick(h_)
-        w = jnp.asarray(f.reshape(bshape)).astype(x.dtype)
-        outs.append(x_lo + w * (x_hi - x_lo))
+    x_prev = _shift_axis(x, axis, -1)
+    x_next = _shift_axis(x, axis, +1)
+    even = x_prev + w_even * (x - x_prev)
+    odd = x + w_odd * (x_next - x)
 
     # interleave the parity classes: out[2i + p] = outs[p][i]
-    stacked = jnp.stack(outs, axis=axis + 1)
+    stacked = jnp.stack([even, odd], axis=axis + 1)
     shape = list(x.shape)
     shape[axis] = 2 * n
     return stacked.reshape(shape)
@@ -110,17 +98,20 @@ def _interp_axis(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
     if in_size == out_size:
         return x
 
-    if out_size == 2 * in_size and in_size >= 2:
-        return _upsample2_axis(x, axis)
-
     if x.dtype == jnp.bfloat16:
-        # Serving path: a tiny dense matmul on the MXU is ~7x faster than the
-        # gather+lerp on TPU (gathers along spatial axes are slow); bf16
-        # coefficient rounding (~3e-3) is below serving precision anyway.
+        # Serving path: a dense interp-matrix matmul on the MXU.  Measured on
+        # the v5e at the hot (128,128,256,32)->2x shape: matmul 14 ms vs
+        # shift-lerp 28 ms vs select 28 ms vs gather worse still — XLA's
+        # elementwise emitters run ~10x off roofline on these batch-minor
+        # layouts, so feeding the MXU wins despite 256x the MACs.  bf16
+        # coefficient rounding (~3e-3) is below serving precision.
         m = jnp.asarray(_interp_matrix(out_size, in_size), x.dtype)
         moved = jnp.moveaxis(x, axis, -1)
         out = jnp.einsum("oi,...i->...o", m, moved)
         return jnp.moveaxis(out, -1, axis)
+
+    if out_size == 2 * in_size and in_size >= 2:
+        return _upsample2_axis(x, axis)
 
     lo, hi, frac = _lerp_coeffs(out_size, in_size)
     x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
