@@ -6,11 +6,11 @@ Prints ONE JSON line:
     {"metric": "inference_fps_per_chip", "value": N, "unit": "frames/sec",
      "vs_baseline": N / 2000.0}
 
-Measures the flagship 22.5M-param model's jitted forward (full-resolution
-4-channel disparity+uncertainty output), bfloat16 matmuls with float32 IO,
-batch 128 (the activation layouts here put batch in the 128-wide lane
-dimension, so batch 64 padded half of every tile — measured +50% fps going
-64 -> 128).
+Measures the flagship 22.5M-param model's jitted serving forward
+(full-resolution 4-channel disparity+uncertainty output), bfloat16 matmuls
+with float32 IO, batch 128 (the activation layouts here put batch in the
+128-wide lane dimension, so batch 64 padded half of every tile — measured
++50% fps going 64 -> 128; batch 256 measured slightly worse).
 
 Timing methodology: see uncertainty_model_tpu/utils/benchmark.py — K
 chained (data-dependent, so not CSE-able) passes inside one compiled
@@ -47,19 +47,26 @@ def bench(verbose: bool = False) -> dict:
             print(f"[bench] {msg}", flush=True)
 
     config = _load_config()
-    # serve in bfloat16 — the MXU's native dtype (f32 convs are ~20x slower
-    # on v5e); bf16 params for serving (softmax/BN stats stay f32)
-    model = RandomlyConnectedModel.from_config(**config["model"], dtype=jnp.bfloat16)
+    # the serving path (uncertainty_model_tpu/serving.py): BN folded into
+    # convs, gates precomputed, bfloat16 params (the MXU's native dtype;
+    # f32 convs are ~20x slower on v5e), Pallas kernels for the ops XLA
+    # mis-tiles.  Algebraically identical to model.apply eval
+    # (tests/test_serving.py) which is itself golden-pinned to the torch
+    # reference.
+    from uncertainty_model_tpu.serving import make_serving_forward
+
+    model = RandomlyConnectedModel.from_config(**config["model"])
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 512, 3)), disp_scale=1.0
     )
-    variables = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        variables,
+    serving_fwd, params = make_serving_forward(
+        model, variables, s2d_stages=(), dtype=jnp.bfloat16
     )
 
-    def apply_fn(variables, x):
-        return model.apply(variables, x, disp_scale=1.0)[0]
+    def apply_fn(params, x):
+        return serving_fwd(params, x)
+
+    variables = params
 
     batch = 128
     log("compiling + measuring...")

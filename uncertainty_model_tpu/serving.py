@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .models.layers import _maybe_barrier, _reflect_conv
+from .ops.pallas.conv import gated_conv_elu
 from .ops import (
     depth_to_space,
     pad2d,
@@ -242,11 +243,54 @@ def _attention_apply(prm, heads, x):
 
 def _encoder_stage_apply(prm, spec: _StageSpec, x):
     graph = spec.graph
+
+    if spec.s2d:
+        # s2d-domain interior: every conv runs as the Pallas kernel
+        # (ops/pallas/conv.py) — pallas_call is a layout black box, pinning
+        # the MXU-shaped fast path XLA's in-context emitter misses — with
+        # the sigmoid gating folded into the kernel (no HBM round trip for
+        # the gated sum).  Node outputs are padded ONCE and the padded
+        # tensor is shared by every downstream consumer.
+        interior = next(n for n in graph.nodes if n.node_type != "input")
+        k = prm["nodes"][str(interior.id)]["kernel"].shape[0]
+        p = (k - 1) // 2
+        pad = ((0, 0), (p, p), (p, p), (0, 0))
+        one = jnp.ones((1,), jnp.float32)
+
+        raw, padded = {}, {}
+        for nid in graph.in_nodes:
+            node_p = prm["nodes"][str(nid)]
+            y = jax.nn.elu(_conv(x, node_p["kernel"], node_p["bias"], stride=2))
+            y = space_to_depth(y)
+            raw[nid] = y
+            padded[nid] = jnp.pad(y, pad)
+
+        for node in graph.nodes:
+            if node.id in raw:
+                continue
+            node_p = prm["nodes"][str(node.id)]
+            xs = [padded[j] for j in node.inputs]
+            assert all(a.shape == xs[0].shape for a in xs), (
+                "serving s2d path requires equal node resolutions "
+                "(true for all K5 stage graphs)")
+            gates = node_p.get("gates", one)
+            y = gated_conv_elu(xs, gates, node_p["kernel"], node_p["bias"])
+            raw[node.id] = y
+            if any(node.id in n.inputs for n in graph.nodes):
+                padded[node.id] = jnp.pad(y, pad)
+
+        out = None
+        for nid in graph.out_nodes:
+            out = raw[nid] if out is None else out + raw[nid]
+        out = out / len(graph.out_nodes)
+        out = depth_to_space(out)
+        return _attention_apply(prm["attention"], spec.heads, out)
+
     results = {}
     for nid in graph.in_nodes:
         node_p = prm["nodes"][str(nid)]
-        y = jax.nn.elu(_conv(x, node_p["kernel"], node_p["bias"], stride=2))
-        results[nid] = space_to_depth(y) if spec.s2d else y
+        results[nid] = jax.nn.elu(
+            _conv(x, node_p["kernel"], node_p["bias"], stride=2))
 
     for node in graph.nodes:
         if node.id in results:
@@ -263,14 +307,13 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
                 h = h + gates[gi] * inp
         else:
             h = inputs[0]
-        results[node.id] = jax.nn.elu(_conv(h, node_p["kernel"], node_p["bias"]))
+        results[node.id] = jax.nn.elu(
+            _conv(h, node_p["kernel"], node_p["bias"]))
 
     out = None
     for nid in graph.out_nodes:
         out = results[nid] if out is None else out + results[nid]
     out = out / len(graph.out_nodes)
-    if spec.s2d:
-        out = depth_to_space(out)
     return _attention_apply(prm["attention"], spec.heads, out)
 
 
@@ -335,18 +378,24 @@ def make_serving_forward(model, variables, s2d_stages=(0, 1),
             x = x.astype(dtype)
         feats = []
         h = x
-        for spec, prm in zip(enc_specs, params["encoder"]):
-            h = _encoder_stage_apply(prm, spec, h)
+        for i, (spec, prm) in enumerate(zip(enc_specs, params["encoder"])):
+            with jax.named_scope(f"enc{i}"):
+                h = _encoder_stage_apply(prm, spec, h)
             feats.append(h)
 
         f1, f2, f3, f4, x4 = feats
         dp = params["decoder"]
-        stage = partial(_decoder_stage_apply, disp_scale=disp_scale)
-        out5, skip5, _ = stage(dp[0], dec_specs[0], x4, f4, x4, None)
-        out4, skip4, disp4 = stage(dp[1], dec_specs[1], out5, f3, skip5, None)
-        out3, skip3, disp3 = stage(dp[2], dec_specs[2], out4, f2, skip4, disp4)
-        out2, skip2, disp2 = stage(dp[3], dec_specs[3], out3, f1, skip3, disp3)
-        _, _, disp1 = stage(dp[4], dec_specs[4], out2, x, skip2, disp2)
+
+        def stage(i, *a):
+            with jax.named_scope(f"dec{i}"):
+                return _decoder_stage_apply(dp[i], dec_specs[i], *a,
+                                            disp_scale=disp_scale)
+
+        out5, skip5, _ = stage(0, x4, f4, x4, None)
+        out4, skip4, disp4 = stage(1, out5, f3, skip5, None)
+        out3, skip3, disp3 = stage(2, out4, f2, skip4, disp4)
+        out2, skip2, disp2 = stage(3, out3, f1, skip3, disp3)
+        _, _, disp1 = stage(4, out2, x, skip2, disp2)
         return disp1
 
     return forward, params
