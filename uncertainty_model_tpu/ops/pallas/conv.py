@@ -126,19 +126,36 @@ def conv_elu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _gated_kernel(*refs, k, hb, n):
     x_refs = refs[:n]
-    w_ref, g_ref, b_ref, out_ref, acc = refs[n:]
+    w_ref, g_ref, b_ref, out_ref = refs[n:n + 4]
+    xbufs = refs[n + 4:n + 4 + n]
+    acc, sem = refs[n + 4 + n:]
     width = out_ref.shape[2]
-    c = x_refs[0].shape[3]
+    c = xbufs[0].shape[2]
     co = out_ref.shape[3]
     m = hb * width
     row0 = pl.program_id(1) * hb
 
+    # manual halo DMA: inputs stay in HBM and only (hb + k - 1) rows per
+    # input are staged (full-image VMEM blocks OOM with 3-4 gated inputs);
+    # one 3-D scratch per input (slicing a 4-D scratch trips Mosaic's
+    # sublane-alignment rule on the unaligned padded width)
+    def dma(i):
+        return pltpu.make_async_copy(
+            x_refs[i].at[pl.program_id(0), pl.ds(row0, hb + k - 1)],
+            xbufs[i], sem.at[i],
+        )
+
+    for i in range(n):
+        dma(i).start()
+
     w = w_ref[...]
-    # gated input sum in VMEM — the XLA formulation materialises it through
-    # HBM (mul+add passes measured ~9 ms/pass for encoder stage 0)
-    rows = g_ref[0, 0] * x_refs[0][0, pl.ds(row0, hb + k - 1), :, :]
+    dt = xbufs[0].dtype
+
+    dma(0).wait()
+    rows = g_ref[0, 0].astype(dt) * xbufs[0][...]
     for i in range(1, n):
-        rows += g_ref[0, i] * x_refs[i][0, pl.ds(row0, hb + k - 1), :, :]
+        dma(i).wait()
+        rows += g_ref[0, i].astype(dt) * xbufs[i][...]
 
     for u in range(k):
         for v in range(k):
@@ -158,20 +175,18 @@ def _gated_kernel(*refs, k, hb, n):
     out_ref[...] = y.astype(out_ref.dtype).reshape(1, hb, width, co)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _gated_conv_elu_pallas(xs, gates, w, b, n):
+@functools.partial(jax.jit, static_argnames=("n", "width"))
+def _gated_conv_elu_pallas(xs, gates, w, b, n, width):
     batch, hp, wp, c = xs[0].shape
     k = w.shape[0]
     co = w.shape[3]
     p = (k - 1) // 2
-    h, width = hp - 2 * p, wp - 2 * p
+    h = hp - 2 * p
 
     hb = next(cand for cand in (8, 4, 2, 1) if h % cand == 0)
 
     in_specs = [
-        pl.BlockSpec((1, hp, wp, c), lambda b_, h_: (b_, 0, 0, 0),
-                     memory_space=pltpu.VMEM)
-        for _ in range(n)
+        pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n)
     ] + [
         pl.BlockSpec((k, k, c, co), lambda b_, h_: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -186,30 +201,41 @@ def _gated_conv_elu_pallas(xs, gates, w, b, n):
                                lambda b_, h_: (b_, h_, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, h, width, co), xs[0].dtype),
-        scratch_shapes=[pltpu.VMEM((hb * width, co), jnp.float32)],
+        scratch_shapes=[
+            *[pltpu.VMEM((hb + k - 1, wp, c), xs[0].dtype) for _ in range(n)],
+            pltpu.VMEM((hb * width, co), jnp.float32),
+            pltpu.SemaphoreType.DMA((n,)),
+        ],
         interpret=_INTERPRET,
-    )(*xs, w, gates.reshape(1, n).astype(xs[0].dtype), b.reshape(1, co))
+    )(*xs, w, gates.reshape(1, n).astype(jnp.float32), b.reshape(1, co))
 
 
-def gated_conv_elu(xs, gates, w, b):
+def gated_conv_elu(xs, gates, w, b, width=None):
     """ELU(conv(sum_i gates[i] * xs[i], w) + b) with PRE-PADDED inputs.
 
-    ``xs``: sequence of (B, H+2p, W+2p, C) zero-padded tensors (the SAME
-    padded node outputs are shared by every consumer in the stage DAG);
+    ``xs``: sequence of (B, H+2p, Wp, C) zero-padded tensors (the SAME
+    padded node outputs are shared by every consumer in the stage DAG).
+    ``Wp`` may exceed W+2p: Mosaic requires the sublane (W) extent of a
+    DMA-sliced array to be 8-aligned, so callers right-pad to a multiple
+    of 8 and pass the logical output ``width`` (default assumes Wp=W+2p).
     ``gates``: (n,) sigmoid gate scalars (reference encoder.py:115-123).
     The gated sum happens in VMEM inside the conv kernel — no HBM round
     trip for the combined input.  Identical-math lax fallback off-TPU.
     """
     n = len(xs)
+    k = w.shape[0]
+    p = (k - 1) // 2
+    if width is None:
+        width = xs[0].shape[2] - 2 * p
     if jax.default_backend() != "tpu" and not _INTERPRET:
         g = gates.astype(xs[0].dtype)
         h = g[0] * xs[0]
         for i in range(1, n):
             h = h + g[i] * xs[i]
         y = lax.conv_general_dilated(
-            h, w, (1, 1), "VALID",
+            h[:, :, :width + 2 * p], w, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
         ).astype(xs[0].dtype) + b
         return jax.nn.elu(y)
-    return _gated_conv_elu_pallas(tuple(xs), gates, w, b, n)
+    return _gated_conv_elu_pallas(tuple(xs), gates, w, b, n, width)

@@ -55,7 +55,9 @@ def _conv(x, kernel, bias, stride=1):
     """Zero-pad SAME conv (pad folded into the op).  The optimization
     barrier keeps XLA from fusing elementwise producers into the conv,
     which can demote it to a slow spatial emitter (models/layers.py,
-    measured +8% end-to-end in round 1)."""
+    measured +8% end-to-end in round 1).  (An output-side barrier was also
+    tried against the stage-0 window-config pathology: 934.9 fps vs 951 —
+    no help, not kept.)"""
     k = kernel.shape[0]
     p = (k - 1) // 2
     y = lax.conv_general_dilated(
@@ -254,14 +256,21 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
         interior = next(n for n in graph.nodes if n.node_type != "input")
         k = prm["nodes"][str(interior.id)]["kernel"].shape[0]
         p = (k - 1) // 2
-        pad = ((0, 0), (p, p), (p, p), (0, 0))
         one = jnp.ones((1,), jnp.float32)
+        pad = None  # set once the s2d width is known
 
         raw, padded = {}, {}
         for nid in graph.in_nodes:
             node_p = prm["nodes"][str(nid)]
             y = jax.nn.elu(_conv(x, node_p["kernel"], node_p["bias"], stride=2))
             y = space_to_depth(y)
+            if pad is None:
+                # right-pad W so the padded sublane extent is 8-aligned
+                # (Mosaic DMA-slice requirement, ops/pallas/conv.py)
+                wp = y.shape[2] + 2 * p
+                extra = (-wp) % 8
+                pad = ((0, 0), (p, p), (p, p + extra), (0, 0))
+                width = y.shape[2]
             raw[nid] = y
             padded[nid] = jnp.pad(y, pad)
 
@@ -274,7 +283,8 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
                 "serving s2d path requires equal node resolutions "
                 "(true for all K5 stage graphs)")
             gates = node_p.get("gates", one)
-            y = gated_conv_elu(xs, gates, node_p["kernel"], node_p["bias"])
+            y = gated_conv_elu(xs, gates, node_p["kernel"], node_p["bias"],
+                               width=width)
             raw[node.id] = y
             if any(node.id in n.inputs for n in graph.nodes):
                 padded[node.id] = jnp.pad(y, pad)
@@ -336,8 +346,7 @@ def _decoder_stage_apply(prm, cfg, x, feature_map, skip, disparity, disp_scale):
     cf = feature_map.shape[-1]
     skip_feat = _conv1x1(skip, k[:, :, cf:])
     skip_feat = resize_bilinear(
-        skip_feat, (skip.shape[1] * r, skip.shape[2] * r)
-    )
+        skip_feat, (skip.shape[1] * r, skip.shape[2] * r))
     se = _conv1x1(feature_map, k[:, :, :cf]) + skip_feat + b
     skip_out = _se_apply(prm["se"], jax.nn.elu(se))
 
