@@ -37,7 +37,8 @@ def _fwd_kernel(xsrc_ref, srcv_ref, out_ref):
     # floor/one-hot construction ((k==x0)(1-t) + (k==x0+1)t) but built with
     # one |diff| instead of two integer compares + selects; the M build is
     # the kernel's dominant (VPU) cost
-    col = jax.lax.broadcasted_iota(jnp.float32, (width, width), 1)  # k on lanes
+    # iota must be integer-typed for Mosaic; cast to f32 for the hat build
+    col = jax.lax.broadcasted_iota(jnp.int32, (width, width), 1).astype(jnp.float32)
 
     def body(r, _):
         x = xsrc_ref[r, :]
@@ -54,7 +55,7 @@ def _fwd_kernel(xsrc_ref, srcv_ref, out_ref):
 
 def _bwd_kernel(xsrc_ref, srcv_ref, dout_ref, dsrc_ref, ddisp_ref):
     r_rows, width = xsrc_ref.shape
-    col = jax.lax.broadcasted_iota(jnp.float32, (width, width), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (width, width), 1).astype(jnp.float32)
 
     def body(r, _):
         x = xsrc_ref[r, :][:, None]                 # (W_out, 1)
