@@ -177,12 +177,24 @@ def main(args: argparse.Namespace) -> None:
     # reference's rank gating: train/train.py:245-265)
     date = datetime.now().strftime("%Y%m%d%H%M%S")
     folder = f"model_{date}"
-    model_directory = results_directory = None
+    if jax.process_count() > 1:
+        # every rank must agree on the run folder: orbax checkpointing is a
+        # collective (all ranks call save and sync on the SAME path), and
+        # the per-rank timestamps can differ
+        import numpy as _np
+
+        from jax.experimental import multihost_utils
+
+        payload = _np.frombuffer(folder.ljust(64).encode(), dtype=_np.uint8)
+        folder = bytes(multihost_utils.broadcast_one_to_all(payload)
+                       ).decode().strip()
+    model_directory = (os.path.join(args.save_model_to, folder)
+                       if args.save_model_to else None)
+    results_directory = (os.path.join(args.save_results_to, folder)
+                         if args.save_results_to else None)
     if jax.process_index() == 0:
-        model_directory = (os.path.join(args.save_model_to, folder)
-                           if args.save_model_to else None)
-        results_directory = (os.path.join(args.save_results_to, folder)
-                             if args.save_results_to else None)
+        # writing stays rank-0-only (reference rank gating,
+        # train/train.py:245-265); orbax handles its own primary-host logic
         for d in (model_directory, results_directory):
             if d:
                 os.makedirs(d, exist_ok=True)

@@ -54,6 +54,14 @@ def main(args: argparse.Namespace) -> None:
     args.seed = args.init_seed
     serial_main(args)
 
+    if args.num_processes > 1:
+        # all hosts leave together: rank 0's saving tail (checkpoints,
+        # comparison grids, results.json) can outlast the coordination
+        # service's shutdown-barrier timeout if the other ranks exit first
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("end_of_run")
+
 
 def _print_live_processes() -> None:
     """Rank-0 live python process listing (reference parallel_main.py:96-104)."""

@@ -46,7 +46,8 @@ def save_checkpoint(directory: str, state, epoch_number: Optional[int] = None,
         payload["disc_batch_stats"] = state.disc_batch_stats
         payload["disc_opt_state"] = state.disc_opt_state
 
-    print(f"Saving model to:\n\t{path}")
+    if jax.process_index() == 0:
+        print(f"Saving model to:\n\t{path}")
     _checkpointer().save(path, jax.device_get(payload), force=True)
     return path
 

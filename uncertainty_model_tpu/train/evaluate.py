@@ -134,6 +134,16 @@ def evaluate_model(
         key, subkey = jax.random.split(key)
         metrics, viz = _eval_step(model, variables, batch, jnp.float32(scale), subkey)
 
+        if i == 0 and jax.process_count() > 1:
+            # the viz tensors are globally sharded across hosts; gather them
+            # to every process so rank 0 can save the comparison grids.
+            # This is a collective and must run on ALL ranks with an
+            # identical condition — save_evaluation_to is rank-0-only (the
+            # run directory exists only there), so it must NOT gate this.
+            from jax.experimental import multihost_utils
+
+            viz = multihost_utils.process_allgather(viz, tiled=True)
+
         if process_index > 0:
             # Rank-0-only metric accumulation matches the reference
             # (train/evaluate.py:121,162): under multi-host DP each process

@@ -406,14 +406,16 @@ class Trainer:
             if (
                 save_every is not None
                 and (epoch + 1) % save_every == 0
-                and process_index == 0
                 and save_model_to is not None
             ):
+                # ALL ranks call save (orbax checkpointing is a collective
+                # with its own primary-host gating; a rank-0-only call
+                # deadlocks the internal sync barrier)
                 save_checkpoint(save_model_to, state, epoch_number=epoch + 1)
 
         if process_index == 0:
             print("Training completed.")
-            if save_model_to is not None:
-                save_checkpoint(save_model_to, state, is_final=True)
+        if save_model_to is not None:
+            save_checkpoint(save_model_to, state, is_final=True)
 
         return state, training_losses, validation_metrics
