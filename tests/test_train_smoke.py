@@ -75,6 +75,49 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["disp_loss"]))
         assert np.isfinite(float(metrics["disc_loss"]))
 
+    def test_lag_disc_bn_stats_immaterial(self, mesh):
+        """The reference's lagged disc_clone accumulates BN buffer updates
+        between refreshes (train/train.py:107,151-152); this trainer discards
+        them.  The discard is provably immaterial — train-mode BatchNorm
+        normalises by *batch* statistics and never reads the running buffers,
+        and the clone is never applied in eval mode — so a step must be
+        bit-identical under ANY perturbation of the stats the lagged clone
+        sees.  (The live discriminator's own buffer stream is unaffected:
+        it is threaded through disc_loss_fn exactly like the reference's.)"""
+        model = RandomlyConnectedModel.from_config(**TINY_MODEL)
+        disc = RandomDiscriminator.from_config(**TINY_DISCRIMINATOR)
+        trainer = Trainer(model, TINY_LOSS, disc=disc, mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(5), (1, *TINY_INPUT, 3))
+
+        from uncertainty_model_tpu.parallel import shard_batch
+
+        batch = shard_batch(_batch(seed=9), mesh)
+        # step 3 is past perceptual_start=2, so BOTH lagged-clone call sites
+        # (generator + perceptual) are live
+        step = jnp.int32(3)
+
+        perturbed = state.replace(
+            disc_batch_stats=jax.tree.map(
+                lambda s: s * 7.0 + 1.0, state.disc_batch_stats))
+
+        out_a, m_a = trainer._train_step(
+            state, batch, jnp.float32(0.3), jnp.float32(1e-3), step)
+        out_b, m_b = trainer._train_step(
+            perturbed, batch, jnp.float32(0.3), jnp.float32(1e-3), step)
+
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(m_a["disp_loss"])),
+            np.asarray(jax.device_get(m_b["disp_loss"])))
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(m_a["disc_loss"])),
+            np.asarray(jax.device_get(m_b["disc_loss"])))
+        for a, b in zip(jax.tree.leaves(jax.device_get(out_a.params)),
+                        jax.tree.leaves(jax.device_get(out_b.params))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(jax.device_get(out_a.disc_params)),
+                        jax.tree.leaves(jax.device_get(out_b.disc_params))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_epoch_loop_and_eval(self, mesh, tmp_path):
         model = RandomlyConnectedModel.from_config(**TINY_MODEL)
         trainer = Trainer(model, TINY_LOSS, mesh=mesh)

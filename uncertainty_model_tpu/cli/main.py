@@ -34,7 +34,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Global batch size (sharded over the mesh).")
     parser.add_argument("--adversarial", action="store_true", default=False)
     parser.add_argument("--finetune-from", default=None, type=str,
-                        help="Path to an orbax checkpoint dir or reference .pt file.")
+                        help="Path to an orbax checkpoint dir or reference .pt file. "
+                             "Reference finetune semantics: schedules restart "
+                             "(lr/4, scale=1, reference train/utils.py:345-346).")
+    parser.add_argument("--resume-from", default=None, type=str,
+                        help="Path to an orbax checkpoint dir (epoch_NNN). "
+                             "Restores params + Adam moments + epoch and "
+                             "continues schedules from there — identical to "
+                             "an uninterrupted run (preemption recovery; the "
+                             "reference has no resume path, SURVEY.md §5).")
     parser.add_argument("--training-size", default=None, nargs="?", type=int)
     parser.add_argument("--validation-size", default=None, nargs="?", type=int)
     parser.add_argument("--workers", "-w", default=8, type=int)
@@ -147,12 +155,19 @@ def main(args: argparse.Namespace) -> None:
     trainer = Trainer(model, config["loss"], disc=disc, mesh=mesh)
 
     input_shape = (1, size[0], size[1], 3)
-    if args.finetune_from is not None:
-        if args.finetune_from.endswith(".pt"):
+    start_epoch = 0
+    restore_path = args.resume_from or args.finetune_from
+    if args.resume_from is not None and args.finetune_from is not None:
+        raise SystemExit("--resume-from and --finetune-from are exclusive")
+    if restore_path is not None:
+        if restore_path.endswith(".pt"):
+            if args.resume_from is not None:
+                raise SystemExit("--resume-from needs an orbax checkpoint "
+                                 "(.pt files carry no optimiser state/epoch)")
             model_vars, disc_vars = load_torch_checkpoint(
-                args.finetune_from, config["model"], adversarial=args.adversarial)
+                restore_path, config["model"], adversarial=args.adversarial)
         else:
-            restored = load_checkpoint(args.finetune_from)
+            restored = load_checkpoint(restore_path)
             model_vars = {"params": restored["params"],
                           "batch_stats": restored["batch_stats"],
                           "opt_state": restored.get("opt_state")}
@@ -162,6 +177,8 @@ def main(args: argparse.Namespace) -> None:
                  "opt_state": restored.get("disc_opt_state")}
                 if "disc_params" in restored else None
             )
+            if args.resume_from is not None:
+                start_epoch = int(restored.get("epoch", 0))
         state = trainer.load_state(model_vars, disc_vars)
     else:
         state = trainer.init_state(jax.random.PRNGKey(args.seed), input_shape)
@@ -210,6 +227,7 @@ def main(args: argparse.Namespace) -> None:
         no_pbar=args.no_pbar,
         process_index=jax.process_index(),
         profile_dir=args.profile_dir,
+        start_epoch=start_epoch,
     )
 
     if results_directory is not None and jax.process_index() == 0:

@@ -173,8 +173,18 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
             if name == "se_conv" or cfg.get("batch_norm", True):
                 k, b = _fold_bn(k, b, sp[name]["bn"], ss[name]["bn"])
             stage[name] = {"kernel": k, "bias": b}
-        stage["se"] = {"fc1": sp["se"]["fc1"]["kernel"],
-                       "fc2": sp["se"]["fc2"]["kernel"]}
+        if cfg.get("fc", True):
+            # fc variant: two bias-free Dense layers (models/layers.py SELayer)
+            stage["se"] = {"fc1": sp["se"]["fc1"]["kernel"],
+                           "fc2": sp["se"]["fc2"]["kernel"]}
+        else:
+            # conv variant (reference model/layers/decoder.py:111-136 with
+            # fc=False): 1x1 convs with bias — squeeze the (1,1,in,out)
+            # kernels to (in, out) so _se_apply's matmul form covers both
+            stage["se"] = {"fc1": sp["se"]["conv1"]["kernel"][0, 0],
+                           "b1": sp["se"]["conv1"]["bias"],
+                           "fc2": sp["se"]["conv2"]["kernel"][0, 0],
+                           "b2": sp["se"]["conv2"]["bias"]}
         if cfg.get("calculate_disp", True):
             stage["disp"] = {"kernel": sp["disp"]["conv"]["kernel"],
                              "bias": sp["disp"]["conv"]["bias"]}
@@ -279,9 +289,14 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
                 continue
             node_p = prm["nodes"][str(node.id)]
             xs = [padded[j] for j in node.inputs]
-            assert all(a.shape == xs[0].shape for a in xs), (
-                "serving s2d path requires equal node resolutions "
-                "(true for all K5 stage graphs)")
+            if not all(a.shape == xs[0].shape for a in xs):
+                raise ValueError(
+                    "serving s2d path: unequal node resolutions at node "
+                    f"{node.id} ({[a.shape for a in xs]}). Structurally "
+                    "unreachable for stages built from stride-2 input nodes "
+                    "+ stride-1 interiors (every WS/K5 graph); the flax "
+                    "training path (models/layers.py NodeBlock) carries the "
+                    "reference's resize alignment if you build such a stage.")
             gates = node_p.get("gates", one)
             y = gated_conv_elu(xs, gates, node_p["kernel"], node_p["bias"],
                                width=width)
@@ -311,9 +326,14 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
             gates = node_p["gates"]
             h = gates[0] * inputs[0]
             for gi, inp in enumerate(inputs[1:], start=1):
-                assert inp.shape == h.shape, (
-                    "serving path requires equal node resolutions "
-                    "(true for all K5 stage graphs)")
+                if inp.shape != h.shape:
+                    raise ValueError(
+                        "serving path: unequal node resolutions at node "
+                        f"{node.id} ({inp.shape} vs {h.shape}). Structurally "
+                        "unreachable for stages built from stride-2 input "
+                        "nodes + stride-1 interiors (every WS/K5 graph); use "
+                        "the flax path for exotic stages (it carries the "
+                        "reference's resize alignment, encoder.py:92-113).")
                 h = h + gates[gi] * inp
         else:
             h = inputs[0]
@@ -328,9 +348,17 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
 
 
 def _se_apply(prm, x):
+    """SELayer on folded params — fc variant (bias-free) and conv variant
+    (1x1 convs squeezed to matmuls, with bias) share one matmul form."""
     squeezed = jnp.mean(x, axis=(1, 2), dtype=jnp.float32).astype(x.dtype)
-    s = jax.nn.relu(squeezed @ prm["fc1"])
-    s = jax.nn.sigmoid(s @ prm["fc2"])
+    s = squeezed @ prm["fc1"]
+    if "b1" in prm:
+        s = s + prm["b1"]
+    s = jax.nn.relu(s)
+    s = s @ prm["fc2"]
+    if "b2" in prm:
+        s = s + prm["b2"]
+    s = jax.nn.sigmoid(s)
     return x * s[:, None, None, :]
 
 

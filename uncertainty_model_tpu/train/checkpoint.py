@@ -3,9 +3,11 @@
 Orbax-backed save/restore of the full train state: params + batch stats +
 optimiser state + epoch number — strictly more than the reference, which
 saves weights only (its finetune path restarts Adam moments and schedules
-from scratch, main.py:126-137).  Restoring an orbax checkpoint therefore
-continues training *identically* to an uninterrupted run; restoring a
-reference ``.pt`` reproduces the reference's weights-only semantics.
+from scratch, main.py:126-137).  Restoring via the CLI's ``--resume-from``
+(Trainer.load_state + train_model(start_epoch=checkpoint epoch)) therefore
+continues training *identically* to an uninterrupted run — moments AND
+schedules; ``--finetune-from`` keeps the reference's restart semantics.
+Restoring a reference ``.pt`` reproduces its weights-only semantics.
 Checkpoints are directories named ``epoch_{NNN:03}`` / ``final`` mirroring
 the reference's ``.pt`` naming.
 

@@ -128,9 +128,16 @@ def evaluate_model(
         iterator = tepoch
 
     for i, batch in enumerate(iterator):
-        batch_size = batch["left"].shape[0]
         if mesh is not None:
             batch = shard_batch(batch, mesh)
+        # GLOBAL image count: under multi-host DP, shard_batch assembles the
+        # global array (per-host shard x process_count) and _eval_step sums
+        # SSIM over that global batch, so the divisor must be global too.
+        # (The reference instead averages rank-0's local shard only,
+        # train/evaluate.py:162-178; dividing the global sum by the global
+        # count is the strictly-better estimator — it uses every image — and
+        # is identical for single-host runs.)
+        batch_size = batch["left"].shape[0]
         key, subkey = jax.random.split(key)
         metrics, viz = _eval_step(model, variables, batch, jnp.float32(scale), subkey)
 

@@ -120,12 +120,31 @@ class Trainer:
             fresh = self.tx.init(p)
             if restored is None:
                 return fresh
-            # orbax restores optax namedtuples as plain dicts; rebuild the
-            # structure from a freshly-initialised template (leaf order is
-            # preserved because both trees have identical shape)
-            return jax.tree.unflatten(
-                jax.tree.structure(fresh), jax.tree.leaves(restored)
-            )
+
+            # orbax restores optax namedtuple states as dicts keyed by FIELD
+            # NAME (e.g. {'count', 'mu', 'nu'}), so rebuild by name against
+            # the fresh template — correct for any field ordering and for
+            # chained transforms (a leaf-order zip would silently permute
+            # moment tensors if a state's fields weren't alphabetical).
+            def rebuild(template, data):
+                if hasattr(template, "_fields"):  # optax state namedtuples
+                    return type(template)(*(
+                        rebuild(getattr(template, f), data[f])
+                        for f in template._fields
+                    ))
+                if isinstance(template, (tuple, list)):  # chained transforms
+                    if isinstance(data, dict):  # orbax stores as {'0': ...}
+                        data = [data[str(i)] for i in range(len(template))]
+                    return type(template)(
+                        rebuild(t, d) for t, d in zip(template, data)
+                    )
+                if isinstance(template, dict):
+                    return {k: rebuild(v, data[k]) for k, v in template.items()}
+                return data
+
+            rebuilt = rebuild(fresh, restored)
+            assert len(jax.tree.leaves(rebuilt)) == len(jax.tree.leaves(fresh))
+            return rebuilt
 
         state = TrainState(
             params=params,
@@ -148,8 +167,17 @@ class Trainer:
 
     def _apply_disc(self, params, batch_stats, pyramid, method=None):
         """Train-mode discriminator apply; batch-stat mutations are returned
-        so the caller decides whether to keep them (the lagged clone's are
-        discarded, like the reference's disc_clone)."""
+        so the caller decides whether to keep them.
+
+        The lagged clone's mutations are DISCARDED.  The reference's
+        ``disc_clone`` deepcopy does accumulate BN buffer updates between
+        refreshes (train/train.py:107,151-152), but those buffers are dead
+        state: train-mode BatchNorm normalises by the current *batch*
+        statistics (running buffers are written, never read), the clone is
+        only ever applied in train mode, and its buffers are never copied
+        back to the live discriminator.  Discarding them therefore changes
+        no loss value, gradient, or checkpoint — pinned by
+        tests/test_train_smoke.py::test_lag_disc_bn_stats_immaterial."""
         out, mutated = self.disc.apply(
             {"params": params, "batch_stats": batch_stats},
             pyramid,
@@ -311,6 +339,15 @@ class Trainer:
                 "scale": disp_scale,
             }
 
+        # metric fetches happen on drain boundaries; honour a finer log_every
+        # by draining at gcd(metrics_every, log_every) so requested logging
+        # cadences below metrics_every aren't silently coarsened
+        drain_every = max(metrics_every, 1)
+        if log_every:
+            import math
+
+            drain_every = math.gcd(drain_every, log_every)
+
         for i, batch in enumerate(iterator):
             sharded = shard_batch(batch, self.mesh)
             state, metrics = self._train_step(
@@ -319,7 +356,7 @@ class Trainer:
 
             n_images += batch["left"].shape[0]
             pending.append(metrics)
-            if (i + 1) % max(metrics_every, 1) != 0:
+            if (i + 1) % drain_every != 0:
                 continue
             averages = drain()
             if tepoch is not None:
@@ -352,11 +389,20 @@ class Trainer:
         no_pbar: bool = False,
         process_index: int = 0,
         profile_dir: Optional[str] = None,
+        start_epoch: int = 0,
     ):
         """Multi-epoch training (reference train/train.py:173-267).
 
         ``profile_dir``: write a jax.profiler trace of the first epoch
         (the reference has no profiler at all, SURVEY.md §5).
+
+        ``start_epoch``: first epoch index to run (resume path): with the
+        Adam moments restored by :meth:`load_state` and ``start_epoch`` set
+        to the checkpoint's epoch number, training continues identically to
+        an uninterrupted run — the LR schedule and disparity-scale
+        curriculum pick up where they left off.  (``finetune`` instead
+        reproduces the reference's weights-only restart semantics:
+        schedules reset, lr/4, scale=1 — train/utils.py:345-346.)
         """
         from .checkpoint import save_checkpoint
         from .evaluate import evaluate_model
@@ -364,7 +410,7 @@ class Trainer:
         training_losses = []
         validation_metrics = []
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             if profile_dir is not None and epoch == 0:
                 jax.profiler.start_trace(profile_dir)
             lr = learning_rate_for_epoch(epoch, learning_rate, finetune)

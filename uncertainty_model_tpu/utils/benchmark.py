@@ -19,10 +19,11 @@ from __future__ import annotations
 import time
 
 
-def measure_forward(apply_fn, variables, batch: int, *, k1: int = 2,
-                    k2: int = 8, reps: int = 3,
-                    image_hw=(256, 512)) -> float:
-    """Seconds per forward pass of ``apply_fn(variables, x) -> (B,H,W,4)``."""
+def measure_forward_samples(apply_fn, variables, batch: int, *, k1: int = 2,
+                            k2: int = 8, reps: int = 3,
+                            image_hw=(256, 512)) -> list:
+    """Per-repetition seconds-per-pass samples for
+    ``apply_fn(variables, x) -> (B,H,W,4)`` (one slope measurement each)."""
     import jax
     import jax.numpy as jnp
 
@@ -43,12 +44,20 @@ def measure_forward(apply_fn, variables, batch: int, *, k1: int = 2,
     x = jnp.full((batch, h, w, 3), 0.5, jnp.float32)
     float(r1(variables, x))
     float(r2(variables, x))
-    best = float("inf")
+    samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(r1(variables, x))
         t1 = time.perf_counter()
         float(r2(variables, x))
         t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (k2 - k1))
-    return best
+        samples.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    return samples
+
+
+def measure_forward(apply_fn, variables, batch: int, *, k1: int = 2,
+                    k2: int = 8, reps: int = 3,
+                    image_hw=(256, 512)) -> float:
+    """Best-of-reps seconds per forward pass (see module docstring)."""
+    return min(measure_forward_samples(apply_fn, variables, batch, k1=k1,
+                                       k2=k2, reps=reps, image_hw=image_hw))
