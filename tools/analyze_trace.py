@@ -3,7 +3,10 @@
 per-module time attribution.
 
 Usage:
-    python tools/analyze_trace.py <trace_dir> <hlo.txt> [module_depth]
+    python tools/analyze_trace.py <trace_dir> <hlo.txt> [module_depth] [divisor]
+
+``divisor``: divide all durations by this (e.g. the K of a chained-pass
+harness, so numbers read as ms/pass).
 
 The trace dir is what jax.profiler.trace() wrote (contains
 plugins/profile/*/ *.trace.json.gz); the HLO text comes from
@@ -54,8 +57,11 @@ def load_opnames(hlo_path: str):
 def main():
     trace_dir, hlo_path = sys.argv[1], sys.argv[2]
     depth = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    div = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
 
     durs, top = load_device_durations(trace_dir)
+    durs = collections.Counter({n: d / div for n, d in durs.items()})
+    top = top / div
     opname = load_opnames(hlo_path)
 
     rollup = collections.Counter()

@@ -20,11 +20,14 @@ def main():
     args = sys.argv[1:]
     batch = int(args[0]) if args and args[0].isdigit() else 128
     s2d = (0, 1)
+    backend = "pallas"
     if "--direct" in args:
         s2d = ()
     for i, a in enumerate(args):
         if a == "--s2d":
             s2d = tuple(int(v) for v in args[i + 1].split(",") if v != "")
+        if a == "--conv-backend":
+            backend = args[i + 1]
 
     import jax
     import jax.numpy as jnp
@@ -62,12 +65,13 @@ def main():
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 256, 512, 3)), disp_scale=1.0)
         fwd, params = make_serving_forward(model, variables, s2d_stages=s2d,
-                                           dtype=jnp.bfloat16)
+                                           dtype=jnp.bfloat16,
+                                           s2d_conv_backend=backend)
 
         def apply_fn(params, x):
             return fwd(params, x)
 
-        label = f"serving s2d={s2d}"
+        label = f"serving s2d={s2d} backend={backend}"
         operand = params
 
     sec = measure_forward(apply_fn, operand, batch)

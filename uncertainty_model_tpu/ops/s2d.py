@@ -80,3 +80,83 @@ def s2d_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
 def s2d_bias(bias: jnp.ndarray) -> jnp.ndarray:
     """Per-channel bias/scale vector -> its s2d (phase-major) counterpart."""
     return jnp.tile(bias, 4)
+
+
+def s2d_out_stride2_conv_kernel(w: jnp.ndarray):
+    """Transform a stride-2 SAME conv kernel (odd k, pad p=(k-1)//2) into the
+    equivalent stride-4 conv producing the output directly in s2d form.
+
+    For  y[2i+a, 2j+b, c] = sum_u,v w[u,v]·x[4i+2a-p+u, 4j+2b-p+v]  define a
+    stride-4 kernel  W'[u',v',ci,(a,b,c)] = w[u'-2a, v'-2b, ci, c]  (zero
+    outside [0,k)) with k' = k+2 and padding (p, p-1) per dim: the covered
+    input span 4·(W/4-1)+k+2 = 2·(W/2-1)+k+1 matches the original conv's
+    (2·(W/2-1)+k) plus one never-read trailing tap, and every x index the
+    transformed conv reads equals the original's (same zero-pad positions) —
+    the transform is an exact rearrangement.
+
+    Returns ``(kernel (k+2, k+2, Cin, 4*Cout), stride=4, padding=(p, p-1))``.
+    Eliminates the post-conv space_to_depth transpose of the stage-0 input
+    conv on the serving s2d path.
+    """
+    k, _, cin, cout = w.shape
+    p = (k - 1) // 2
+    kp = k + 2
+
+    grid_u = jnp.arange(kp)[:, None]
+    grid_a = jnp.arange(2)[None, :]
+    u = grid_u - 2 * grid_a  # (kp, 2)
+    valid = (u >= 0) & (u < k)
+    uc = jnp.clip(u, 0, k - 1)
+
+    w_u = jnp.where(valid[..., None, None, None], w[uc], 0)  # (kp,2_a,k,ci,co)
+    w_uv = jnp.where(valid[None, None, ..., None, None],
+                     w_u[:, :, uc], 0)  # (kp, 2_a, kp, 2_b, ci, co)
+
+    # -> (u', v', ci, (a, b, c)) phase-major output channels
+    w2 = jnp.transpose(w_uv, (0, 2, 4, 1, 3, 5))
+    return w2.reshape(kp, kp, cin, 4 * cout), 4, (p, p - 1)
+
+
+def s2d_in_stride2_conv_kernel(w: jnp.ndarray):
+    """Transform a stride-2 SAME conv kernel with EVEN pad p (k ≡ 1 mod 4,
+    e.g. k=5) into the equivalent stride-1 conv CONSUMING s2d input and
+    producing the native (non-s2d) output.
+
+    y[o] = sum_u w[u]·x[2o-p+u]; with x[2r+q] = X[r,(q,·)] the taps become
+    u = 2ρ+q+p over row offsets ρ, i.e. a stride-1 conv on the s2d grid with
+    k' = p+1 taps per dim, pad p/2 (integral because p is even — the s2d
+    grid's zero rows land exactly on the original pad rows, so the transform
+    is exact).  Returns ``(kernel (k', k', 4*Cin, Cout), stride=1,
+    padding=(p//2, p//2))``.
+
+    Lets stage 1's input conv consume stage 0's s2d output directly — no
+    depth_to_space between consecutive s2d encoder stages.
+    """
+    k, _, cin, cout = w.shape
+    p = (k - 1) // 2
+    assert p % 2 == 0, "s2d-input conv transform requires even pad (k=5, 9, ...)"
+    kp = p + 1
+
+    grid_r = jnp.arange(kp)[:, None]  # ρ + p//2 (shifted to start at 0)
+    grid_q = jnp.arange(2)[None, :]
+    u = 2 * (grid_r - p // 2) + grid_q + p  # (kp, 2)
+    valid = (u >= 0) & (u < k)
+    uc = jnp.clip(u, 0, k - 1)
+
+    w_u = jnp.where(valid[..., None, None, None], w[uc], 0)  # (kp,2_q,k,ci,co)
+    w_uv = jnp.where(valid[None, None, ..., None, None],
+                     w_u[:, :, uc], 0)  # (kp, 2_q, kp, 2_d, ci, co)
+
+    # -> (ρ, σ, (q, d, ci), co) phase-major input channels
+    w2 = jnp.transpose(w_uv, (0, 2, 1, 3, 4, 5))
+    return w2.reshape(kp, kp, 4 * cin, cout), 1, (p // 2, p // 2)
+
+
+def block_diag_1x1_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(1,1,Cin,Cout) kernel -> its s2d block-diagonal form (1,1,4Cin,4Cout):
+    a 1x1 conv acts per-pixel, so on the s2d tensor it applies independently
+    to each of the 4 phase blocks (phase-major channel order)."""
+    cin, cout = w.shape[2], w.shape[3]
+    eye = jnp.eye(4, dtype=w.dtype)
+    big = jnp.einsum("pq,io->piqo", eye, w[0, 0])
+    return big.reshape(1, 1, 4 * cin, 4 * cout)

@@ -46,6 +46,11 @@ from .ops import (
     s2d_conv_kernel,
     space_to_depth,
 )
+from .ops.s2d import (
+    block_diag_1x1_kernel,
+    s2d_in_stride2_conv_kernel,
+    s2d_out_stride2_conv_kernel,
+)
 
 _DN = ("NHWC", "HWIO", "NHWC")
 _BN_EPS = 1e-5
@@ -108,6 +113,9 @@ class _StageSpec(NamedTuple):
     graph: Any  # GraphSpec
     heads: int
     s2d: bool
+    s2d_in: bool = False   # stage input arrives in s2d form
+    channels: int = 0      # original (non-s2d) out_channels
+    conv_backend: str = "pallas"  # interior conv impl: pallas | lax
 
 
 # ---------------------------------------------------------------------------
@@ -127,20 +135,33 @@ def _node_gates(node, mean_weight, parity_weight_indexing=True):
     return jnp.stack([g[i] for i in idx])
 
 
-def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16):
+def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16,
+                         s2d_conv_backend="pallas"):
     """Fold a trained model's variables into the serving parameter tree.
 
     Returns ``(specs, params)``: ``specs`` is static (closed over by the
     apply fn), ``params`` is a pytree of arrays (jit operand).
+
+    s2d stages run ENTIRELY in the space-to-depth domain — the input conv
+    produces s2d output directly (``s2d_out_stride2_conv_kernel``), the
+    attention runs on s2d tensors (block-diagonal 1x1 kernels, phase-summed
+    context), and consecutive s2d stages hand the tensor over without a
+    depth_to_space (``s2d_in_stride2_conv_kernel``).  All transforms are
+    exact build-time kernel rearrangements (ops/s2d.py docstrings carry the
+    derivations); round 2 paid ~14 ms/pass in s2d<->native conversions and
+    relayouts around every stage boundary.
     """
     p, s = variables["params"], variables["batch_stats"]
 
     enc_specs, enc_params = [], []
+    prev_s2d = False
     for i, (graph, (out_ch, kernel, heads)) in enumerate(
         zip(model.encoder.graphs, model.encoder.layers)
     ):
         sp, ss = p["encoder"][f"stage_{i}"], s["encoder"][f"stage_{i}"]
         use_s2d = (i in s2d_stages) and kernel >= 5
+        # consuming s2d input needs an even-pad input conv (k=5, 9, ...)
+        s2d_in = prev_s2d and (((kernel - 1) // 2) % 2 == 0)
         nodes = {}
         for node in graph.nodes:
             np_ = sp["graph"][f"node_{node.id}"]
@@ -152,14 +173,33 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
                 ns["conv_block"]["bn"],
             )
             entry = {}
-            if use_s2d and node.node_type != "input":
+            if node.node_type == "input":
+                if use_s2d and not s2d_in:
+                    # native input -> s2d output in ONE stride-4 conv
+                    k, _, _ = s2d_out_stride2_conv_kernel(k)
+                    b = s2d_bias(b)
+                elif s2d_in:
+                    # s2d input -> native output, stride-1 on the s2d grid
+                    k, _, _ = s2d_in_stride2_conv_kernel(k)
+            elif use_s2d:
                 k, b = s2d_conv_kernel(k), s2d_bias(b)
             entry["kernel"], entry["bias"] = k, b
             if len(node.inputs) > 1:
                 entry["gates"] = _node_gates(node, np_["mean_weight"])
             nodes[str(node.id)] = entry
-        enc_specs.append(_StageSpec(graph=graph, heads=heads, s2d=use_s2d))
-        enc_params.append({"nodes": nodes, "attention": sp["attention"]})
+
+        attn = sp["attention"]
+        if use_s2d:
+            attn = {
+                name: {"kernel": block_diag_1x1_kernel(attn[name]["kernel"]),
+                       "bias": s2d_bias(attn[name]["bias"])}
+                for name in ("keys", "queries", "values", "reprojection")
+            }
+        enc_specs.append(_StageSpec(graph=graph, heads=heads, s2d=use_s2d,
+                                    s2d_in=s2d_in, channels=out_ch,
+                                    conv_backend=s2d_conv_backend))
+        enc_params.append({"nodes": nodes, "attention": attn})
+        prev_s2d = use_s2d
 
     dec_specs, dec_params = [], []
     for i, frozen in enumerate(model.decoder.layers):
@@ -253,16 +293,70 @@ def _attention_apply(prm, heads, x):
     return out + x
 
 
+def _softmax_tokens_s2d(v, c):
+    """Per-ORIGINAL-channel softmax over all spatial tokens, computed on the
+    s2d tensor: channel (p, c)'s tokens live in 4 phase blocks, so the max /
+    sum reductions combine the per-s2d-channel reductions across phases.
+    Identical math to ``_softmax(v_native, axis=(1, 2))``."""
+    b = v.shape[0]
+    m4 = jnp.max(v.astype(jnp.float32), axis=(1, 2))          # (B, 4C)
+    m = jnp.max(m4.reshape(b, 4, c), axis=1)                   # (B, C)
+    mt = jnp.tile(m, (1, 4))[:, None, None, :]                 # (B,1,1,4C)
+    e = jnp.exp(v - mt.astype(v.dtype))
+    s4 = jnp.sum(e.astype(jnp.float32), axis=(1, 2))           # (B, 4C)
+    st = jnp.tile(jnp.sum(s4.reshape(b, 4, c), axis=1), (1, 4))
+    return e * (1.0 / st)[:, None, None, :].astype(v.dtype)
+
+
+def _attention_s2d(prm, heads, c, x):
+    """EfficientAttention computed entirely in the s2d domain (kernels are
+    pre-transformed to block-diagonal form at build time).
+
+    The context matrix over original channels is the sum of the 4
+    phase-diagonal blocks of the s2d context: K[x,y,k]·V[x,y,v] summed over
+    native tokens equals sum_p K_s2d[i,j,(p,k)]·V_s2d[i,j,(p,v)] — cross-
+    phase blocks pair DIFFERENT native tokens and are discarded.  Applying
+    the (head-masked) context to the queries is per-pixel linear, i.e.
+    block-diagonal again.  Values identical to ``_attention_apply`` on the
+    depth_to_space'd tensor (tests/test_serving.py pins the f32 path)."""
+    b = x.shape[0]
+
+    def proj(name):
+        return _conv1x1(x, prm[name]["kernel"], prm[name]["bias"])
+
+    keys = _softmax_tokens_s2d(proj("keys"), c)
+    queries = _grouped_softmax(proj("queries"), c // heads)
+    values = proj("values")
+
+    full = jnp.einsum("bxyu,bxyw->buw", keys, values)          # (B, 4C, 4C)
+    r = full.reshape(b, 4, c, 4, c)
+    context = r[:, 0, :, 0, :] + r[:, 1, :, 1, :] + r[:, 2, :, 2, :] + r[:, 3, :, 3, :]
+
+    block = c // heads
+    mask = jnp.asarray(
+        (jnp.arange(c)[:, None] // block) == (jnp.arange(c)[None, :] // block),
+        context.dtype,
+    )
+    big = jnp.einsum("pq,bkv->bpkqv", jnp.eye(4, dtype=context.dtype),
+                     context * mask).reshape(b, 4 * c, 4 * c)
+    attended = jnp.einsum("buw,bxyu->bxyw", big, queries)
+
+    out = _conv1x1(attended, prm["reprojection"]["kernel"],
+                   prm["reprojection"]["bias"])
+    return out + x
+
+
 def _encoder_stage_apply(prm, spec: _StageSpec, x):
+    """One encoder stage; ``x`` is s2d iff ``spec.s2d_in``; the result is
+    s2d iff ``spec.s2d``."""
     graph = spec.graph
 
     if spec.s2d:
-        # s2d-domain interior: every conv runs as the Pallas kernel
-        # (ops/pallas/conv.py) — pallas_call is a layout black box, pinning
-        # the MXU-shaped fast path XLA's in-context emitter misses — with
-        # the sigmoid gating folded into the kernel (no HBM round trip for
-        # the gated sum).  Node outputs are padded ONCE and the padded
-        # tensor is shared by every downstream consumer.
+        # s2d-domain stage: interiors run as Pallas implicit-GEMM kernels
+        # (ops/pallas/conv.py) with the sigmoid gating folded in (no HBM
+        # round trip for the gated sum), or as lax convs on the s2d kernels
+        # (conv_backend="lax").  Node outputs are padded ONCE and shared by
+        # every downstream consumer.
         interior = next(n for n in graph.nodes if n.node_type != "input")
         k = prm["nodes"][str(interior.id)]["kernel"].shape[0]
         p = (k - 1) // 2
@@ -272,8 +366,23 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
         raw, padded = {}, {}
         for nid in graph.in_nodes:
             node_p = prm["nodes"][str(nid)]
-            y = jax.nn.elu(_conv(x, node_p["kernel"], node_p["bias"], stride=2))
-            y = space_to_depth(y)
+            if spec.s2d_in:
+                # stride-1 conv on the s2d grid -> native, then re-s2d
+                kin = node_p["kernel"].shape[0]
+                y = lax.conv_general_dilated(
+                    _maybe_barrier(x), node_p["kernel"], (1, 1),
+                    [((kin - 1) // 2,) * 2] * 2, dimension_numbers=_DN,
+                ) + node_p["bias"]
+                y = space_to_depth(jax.nn.elu(y))
+            else:
+                # native input -> s2d output in one stride-4 conv
+                kin = node_p["kernel"].shape[0]
+                pin = (kin - 3) // 2  # original pad p = (k'-2-1)//2
+                y = lax.conv_general_dilated(
+                    _maybe_barrier(x), node_p["kernel"], (4, 4),
+                    [(pin, pin - 1), (pin, pin - 1)], dimension_numbers=_DN,
+                ) + node_p["bias"]
+                y = jax.nn.elu(y)
             if pad is None:
                 # right-pad W so the padded sublane extent is 8-aligned
                 # (Mosaic DMA-slice requirement, ops/pallas/conv.py)
@@ -298,8 +407,18 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
                     "training path (models/layers.py NodeBlock) carries the "
                     "reference's resize alignment if you build such a stage.")
             gates = node_p.get("gates", one)
-            y = gated_conv_elu(xs, gates, node_p["kernel"], node_p["bias"],
-                               width=width)
+            if spec.conv_backend == "pallas":
+                y = gated_conv_elu(xs, gates, node_p["kernel"],
+                                   node_p["bias"], width=width)
+            else:
+                g = gates.astype(xs[0].dtype)
+                h = g[0] * xs[0]
+                for gi in range(1, len(xs)):
+                    h = h + g[gi] * xs[gi]
+                y = jax.nn.elu(lax.conv_general_dilated(
+                    _maybe_barrier(h[:, :, :width + 2 * p]), node_p["kernel"],
+                    (1, 1), "VALID", dimension_numbers=_DN,
+                ) + node_p["bias"])
             raw[node.id] = y
             if any(node.id in n.inputs for n in graph.nodes):
                 padded[node.id] = jnp.pad(y, pad)
@@ -308,14 +427,21 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
         for nid in graph.out_nodes:
             out = raw[nid] if out is None else out + raw[nid]
         out = out / len(graph.out_nodes)
-        out = depth_to_space(out)
-        return _attention_apply(prm["attention"], spec.heads, out)
+        return _attention_s2d(prm["attention"], spec.heads, spec.channels, out)
 
     results = {}
     for nid in graph.in_nodes:
         node_p = prm["nodes"][str(nid)]
-        results[nid] = jax.nn.elu(
-            _conv(x, node_p["kernel"], node_p["bias"], stride=2))
+        if spec.s2d_in:
+            kin = node_p["kernel"].shape[0]
+            y = lax.conv_general_dilated(
+                _maybe_barrier(x), node_p["kernel"], (1, 1),
+                [((kin - 1) // 2,) * 2] * 2, dimension_numbers=_DN,
+            ) + node_p["bias"]
+            results[nid] = jax.nn.elu(y)
+        else:
+            results[nid] = jax.nn.elu(
+                _conv(x, node_p["kernel"], node_p["bias"], stride=2))
 
     for node in graph.nodes:
         if node.id in results:
@@ -402,12 +528,14 @@ def _decoder_stage_apply(prm, cfg, x, feature_map, skip, disparity, disp_scale):
 
 
 def make_serving_forward(model, variables, s2d_stages=(0, 1),
-                         dtype: Optional[Any] = jnp.bfloat16):
+                         dtype: Optional[Any] = jnp.bfloat16,
+                         s2d_conv_backend="pallas"):
     """Returns ``(forward, params)`` where ``forward(params, x, disp_scale=1.0)``
     computes the full-resolution 4-channel [l_disp, r_disp, l_unc, r_unc]
     map (the reference's eval output, model/decoder.py:59-62)."""
     (enc_specs, dec_specs), params = build_serving_params(
-        model, variables, s2d_stages=s2d_stages, dtype=dtype
+        model, variables, s2d_stages=s2d_stages, dtype=dtype,
+        s2d_conv_backend=s2d_conv_backend,
     )
 
     def forward(params, x, disp_scale=1.0):
@@ -418,7 +546,15 @@ def make_serving_forward(model, variables, s2d_stages=(0, 1),
         for i, (spec, prm) in enumerate(zip(enc_specs, params["encoder"])):
             with jax.named_scope(f"enc{i}"):
                 h = _encoder_stage_apply(prm, spec, h)
-            feats.append(h)
+            # the decoder consumes native-layout skips; consecutive s2d
+            # stages hand the s2d tensor over directly (no conversion) and
+            # the single depth_to_space here is reused for both the skip
+            # AND the first non-s2d-input successor
+            native = depth_to_space(h) if spec.s2d else h
+            feats.append(native)
+            next_spec = enc_specs[i + 1] if i + 1 < len(enc_specs) else None
+            if spec.s2d and not (next_spec is not None and next_spec.s2d_in):
+                h = native
 
         f1, f2, f3, f4, x4 = feats
         dp = params["decoder"]
