@@ -51,6 +51,7 @@ from .ops.s2d import (
     s2d_in_stride2_conv_kernel,
     s2d_out_stride2_conv_kernel,
 )
+from .ops.pallas.decoder_fused import assemble_z, gate_z
 
 _DN = ("NHWC", "HWIO", "NHWC")
 _BN_EPS = 1e-5
@@ -136,7 +137,7 @@ def _node_gates(node, mean_weight, parity_weight_indexing=True):
 
 
 def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16,
-                         s2d_conv_backend="pallas"):
+                         s2d_conv_backend="pallas", fused_stages=(2, 3, 4)):
     """Fold a trained model's variables into the serving parameter tree.
 
     Returns ``(specs, params)``: ``specs`` is static (closed over by the
@@ -202,6 +203,8 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
         prev_s2d = use_s2d
 
     dec_specs, dec_params = [], []
+    prev_fused_ccat = None
+    prev_disp_ch = 0
     for i, frozen in enumerate(model.decoder.layers):
         cfg = dict(frozen)
         sp = p["decoder"][f"stage_{i}"]
@@ -213,6 +216,50 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
             if name == "se_conv" or cfg.get("batch_norm", True):
                 k, b = _fold_bn(k, b, sp[name]["bn"], ss[name]["bn"])
             stage[name] = {"kernel": k, "bias": b}
+
+        # fused-glue decoder stages (ops/pallas/decoder_fused.py): one
+        # Pallas pass assembles [z | pixel_shuffle(elu(xc)) | up2(disp)]
+        # and the SE sums; the convs stay XLA.  All layout shuffles become
+        # build-time kernel permutations (values identical, pinned by
+        # tests/test_serving.py):
+        #   - upsample_conv output channels -> phase-major (in-kernel
+        #     pixel shuffle = slice + column interleave)
+        #   - iconv input channels -> the [z, xup, disp] concat order
+        #   - when the PREVIOUS stage is fused, its full cat tensor is this
+        #     stage's skip handle: the se_conv skip half is zero-embedded to
+        #     cat's channel count (z sits first, so rows [0, cso_prev))
+        cfg["fused"] = i in fused_stages and cfg.get("scale", 2) == 2
+        if cfg["fused"]:
+            cu = cfg["upsample_channels"]
+            cso = cfg["skip_out_channels"]
+            cf = cfg["feature_in_channels"]
+            ku, bu = stage["upsample_conv"]["kernel"], stage["upsample_conv"]["bias"]
+            perm = jnp.asarray(
+                [c * 4 + pph for pph in range(4) for c in range(cu)])
+            stage["upsample_conv"] = {"kernel": ku[..., perm], "bias": bu[perm]}
+
+            ki = stage["iconv"]["kernel"]
+            has_disp = cfg.get("concat_disp", True)
+            ki_perm = jnp.concatenate(
+                [ki[:, :, cu:cu + cso], ki[:, :, 0:cu], ki[:, :, cu + cso:]],
+                axis=2)
+            stage["iconv"] = {"kernel": ki_perm, "bias": stage["iconv"]["bias"]}
+
+            se_old = stage.pop("se_conv")
+            stage["se_fm"] = {"kernel": se_old["kernel"][:, :, :cf]}
+            kskip = se_old["kernel"][:, :, cf:]
+            if prev_fused_ccat is not None:
+                kskip = jnp.concatenate(
+                    [kskip, jnp.zeros((1, 1, prev_fused_ccat - kskip.shape[2],
+                                       cso), kskip.dtype)], axis=2)
+            stage["se_skip"] = {"kernel": kskip}
+            stage["se_bias"] = se_old["bias"]
+            disp_in = prev_disp_ch if has_disp else 0
+            prev_fused_ccat = cso + cu + disp_in
+        else:
+            prev_fused_ccat = None
+        prev_disp_ch = (cfg.get("disp_channels", 4)
+                        if cfg.get("calculate_disp", True) else 0)
         if cfg.get("fc", True):
             # fc variant: two bias-free Dense layers (models/layers.py SELayer)
             stage["se"] = {"fc1": sp["se"]["fc1"]["kernel"],
@@ -488,7 +535,53 @@ def _se_apply(prm, x):
     return x * s[:, None, None, :]
 
 
+def _se_gates(prm, squeezed, dt):
+    """The SE MLP (fc and conv variants) on a precomputed f32 squeeze."""
+    s = squeezed.astype(dt) @ prm["fc1"]
+    if "b1" in prm:
+        s = s + prm["b1"]
+    s = jax.nn.relu(s)
+    s = s @ prm["fc2"]
+    if "b2" in prm:
+        s = s + prm["b2"]
+    return jax.nn.sigmoid(s)
+
+
+def _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip, disparity,
+                               disp_scale):
+    """Fused-glue decoder stage (ops/pallas/decoder_fused.py).
+
+    ``skip`` is either a plain skip tensor or the previous fused stage's
+    full cat tensor (whose gated-z channels [0, cso_prev) are that skip —
+    the se_skip kernel was zero-embedded at build time accordingly).
+    Returns ``(out, cat, disp)``: ``cat`` doubles as this stage's skip
+    handle for a fused successor.  Values identical to
+    ``_decoder_stage_apply`` (tests/test_serving.py).
+    """
+    cso = cfg["skip_out_channels"]
+    skip_feat_h = _conv1x1(skip, prm["se_skip"]["kernel"])
+    se_fm = _conv1x1(feature_map, prm["se_fm"]["kernel"])
+    xc = _rconv(x, prm["upsample_conv"]["kernel"],
+                prm["upsample_conv"]["bias"])
+
+    dh = disparity if cfg.get("concat_disp", True) else None
+    cat, mean = assemble_z(se_fm, skip_feat_h, xc, dh, prm["se_bias"])
+    gates = _se_gates(prm["se"], mean, se_fm.dtype)
+    cat = gate_z(cat, gates, cso)
+
+    out = jax.nn.elu(_rconv(cat, prm["iconv"]["kernel"],
+                            prm["iconv"]["bias"]))
+    disp = None
+    if cfg.get("calculate_disp", True):
+        disp = disp_scale * jax.nn.sigmoid(
+            _rconv(out, prm["disp"]["kernel"], prm["disp"]["bias"]))
+    return out, cat, disp
+
+
 def _decoder_stage_apply(prm, cfg, x, feature_map, skip, disparity, disp_scale):
+    if cfg.get("fused"):
+        return _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip,
+                                          disparity, disp_scale)
     r = cfg.get("scale", 2)
 
     # se_conv, split over (feature_map, skip) with the skip part hoisted
@@ -529,13 +622,13 @@ def _decoder_stage_apply(prm, cfg, x, feature_map, skip, disparity, disp_scale):
 
 def make_serving_forward(model, variables, s2d_stages=(0, 1),
                          dtype: Optional[Any] = jnp.bfloat16,
-                         s2d_conv_backend="pallas"):
+                         s2d_conv_backend="pallas", fused_stages=(2, 3, 4)):
     """Returns ``(forward, params)`` where ``forward(params, x, disp_scale=1.0)``
     computes the full-resolution 4-channel [l_disp, r_disp, l_unc, r_unc]
     map (the reference's eval output, model/decoder.py:59-62)."""
     (enc_specs, dec_specs), params = build_serving_params(
         model, variables, s2d_stages=s2d_stages, dtype=dtype,
-        s2d_conv_backend=s2d_conv_backend,
+        s2d_conv_backend=s2d_conv_backend, fused_stages=fused_stages,
     )
 
     def forward(params, x, disp_scale=1.0):
