@@ -72,6 +72,24 @@ class TestServingParity:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_s2d_native_attention_equivalent(self, trained_variables):
+        """s2d graph execution with the attention run natively (one
+        depth_to_space after the graph, untransformed attention kernels)
+        must match the direct path exactly like the full-s2d mode."""
+        model, variables = trained_variables
+        x = jax.random.uniform(jax.random.PRNGKey(9), (1, *TINY_INPUT, 3))
+
+        fwd_direct, p_direct = make_serving_forward(
+            model, variables, s2d_stages=(), dtype=None)
+        fwd_n, p_n = make_serving_forward(
+            model, variables, s2d_stages=(0, 1), dtype=None,
+            s2d_conv_backend="lax", s2d_attention="native")
+
+        a = fwd_direct(p_direct, x)
+        b = fwd_n(p_n, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_conv_se_variant(self):
         """fc=False decoder stages (reference model/layers/decoder.py:111-136
         conv-SE variant) fold and serve correctly (round-2 VERDICT missing

@@ -68,6 +68,31 @@ def main():
                 orow = cur + fo * (nxt - cur)
                 rows = jnp.stack([er, orow], axis=1).reshape(
                     2, wbc + 2, cso, B)
+            if variant == "stride":
+                # strided stores: no stack/reshape materialization
+                pc, cc, nc = rows[:, 0:wbc], rows[:, 1:wbc + 1], rows[:, 2:wbc + 2]
+                ec = pc + few * (cc - pc)
+                oc = cc + fow * (nc - cc)
+                see = se_ref[2 * r:2 * r + 2, 0:wb:2] + ec
+                seo = se_ref[2 * r:2 * r + 2, 1:wb:2] + oc
+                ye = see.astype(jnp.float32)
+                yo = seo.astype(jnp.float32)
+                ze = jnp.where(ye > 0, ye, jnp.exp(ye) - 1.0)
+                zo = jnp.where(yo > 0, yo, jnp.exp(yo) - 1.0)
+                out_ref[2 * r:2 * r + 2, 0:wb:2] = ze.astype(dt)
+                out_ref[2 * r:2 * r + 2, 1:wb:2] = zo.astype(dt)
+                continue
+            if variant == "repshift":
+                u = rows.repeat(2, axis=1)      # (2, 2*(wbc+2), cso, B)
+                a = u[:, 1:wb + 1]
+                bq = u[:, 3:wb + 3]
+                fz = jnp.stack([few, fow], axis=2).reshape(1, wb, 1, 1)
+                up = a + fz * (bq - a)
+                se = se_ref[2 * r:2 * r + 2] + up
+                y = se.astype(jnp.float32)
+                z = jnp.where(y > 0, y, jnp.exp(y) - 1.0)
+                out_ref[2 * r:2 * r + 2] = z.astype(dt)
+                continue
             if variant == "nointerleave":
                 up = rows[:, 0:wbc].repeat(2, axis=1)
             else:

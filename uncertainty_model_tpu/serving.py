@@ -101,11 +101,13 @@ def _fold_bn(kernel, bias, bn_params, bn_stats):
 
 def _softmax(v, axis):
     """f32-reduction softmax over possibly-bf16 data (same policy as
-    models/layers.py EfficientAttention)."""
+    models/layers.py EfficientAttention).  The max runs in the input dtype
+    (max is exact in any dtype — no f32 conversion pass); only the large
+    token-axis SUM accumulates in f32."""
     if v.dtype == jnp.float32:
         return jax.nn.softmax(v, axis=axis)
-    m = jnp.max(v.astype(jnp.float32), axis=axis, keepdims=True)
-    e = jnp.exp(v - m.astype(v.dtype))
+    m = jnp.max(v, axis=axis, keepdims=True)
+    e = jnp.exp(v - m)
     s = jnp.sum(e, axis=axis, keepdims=True, dtype=jnp.float32)
     return e * (1.0 / s).astype(v.dtype)
 
@@ -117,6 +119,7 @@ class _StageSpec(NamedTuple):
     s2d_in: bool = False   # stage input arrives in s2d form
     channels: int = 0      # original (non-s2d) out_channels
     conv_backend: str = "pallas"  # interior conv impl: pallas | lax
+    attn_native: bool = False  # s2d stage: depth_to_space before attention
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +140,8 @@ def _node_gates(node, mean_weight, parity_weight_indexing=True):
 
 
 def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16,
-                         s2d_conv_backend="pallas", fused_stages=(2, 3, 4)):
+                         s2d_conv_backend="pallas", fused_stages=(2, 3, 4),
+                         s2d_attention="s2d"):
     """Fold a trained model's variables into the serving parameter tree.
 
     Returns ``(specs, params)``: ``specs`` is static (closed over by the
@@ -151,6 +155,13 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
     exact build-time kernel rearrangements (ops/s2d.py docstrings carry the
     derivations); round 2 paid ~14 ms/pass in s2d<->native conversions and
     relayouts around every stage boundary.
+
+    ``s2d_attention``: "s2d" keeps the attention in the s2d domain (block-
+    diagonal kernels, phase-summed context — zero conversions, but the
+    cross-phase softmax reductions double the pool cost); "native" converts
+    the graph output with one depth_to_space and runs the untransformed
+    attention (the stage then returns a native tensor, so a following s2d
+    stage pays its own input transform).
     """
     p, s = variables["params"], variables["batch_stats"]
 
@@ -190,7 +201,8 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
             nodes[str(node.id)] = entry
 
         attn = sp["attention"]
-        if use_s2d:
+        attn_native = use_s2d and s2d_attention == "native"
+        if use_s2d and not attn_native:
             attn = {
                 name: {"kernel": block_diag_1x1_kernel(attn[name]["kernel"]),
                        "bias": s2d_bias(attn[name]["bias"])}
@@ -198,9 +210,10 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
             }
         enc_specs.append(_StageSpec(graph=graph, heads=heads, s2d=use_s2d,
                                     s2d_in=s2d_in, channels=out_ch,
-                                    conv_backend=s2d_conv_backend))
+                                    conv_backend=s2d_conv_backend,
+                                    attn_native=attn_native))
         enc_params.append({"nodes": nodes, "attention": attn})
-        prev_s2d = use_s2d
+        prev_s2d = use_s2d and not attn_native
 
     dec_specs, dec_params = [], []
     prev_fused_ccat = None
@@ -293,18 +306,36 @@ def _grouped_softmax(v, group):
     """Softmax over channel groups of size ``group`` without the (...,
     heads, ch) reshape — a 5-D head split relayouts the whole map (minor dim
     4 pads 128 lanes 32x; measured ~3 ms/stage on the batch-128 trace).
-    Channel-window reduce_windows keep the native NHWC layout."""
-    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+    Channel-window reduce_windows keep the native NHWC layout.
+
+    On the bf16 serving path the window reductions stay in bf16: the max is
+    EXACT in any dtype, and a ``group``-element (4-8 values) bf16 sum's
+    rounding (~2^-9 relative per add) sits far below the path's own bf16
+    quantization of v; only the reciprocal is computed in f32.  The f32
+    parity path keeps full f32 reductions."""
+    if v.dtype == jnp.float32:
+        neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+        m = lax.reduce_window(
+            v, neg_inf, lax.max,
+            (1, 1, 1, group), (1, 1, 1, group), "VALID",
+        )
+        e = jnp.exp(v - jnp.repeat(m, group, axis=-1))
+        s = lax.reduce_window(
+            e, jnp.asarray(0.0, jnp.float32), lax.add,
+            (1, 1, 1, group), (1, 1, 1, group), "VALID",
+        )
+        inv = 1.0 / s
+        return e * jnp.repeat(inv, group, axis=-1)
+    neg_inf = jnp.asarray(-jnp.inf, v.dtype)
     m = lax.reduce_window(
-        v.astype(jnp.float32), neg_inf, lax.max,
-        (1, 1, 1, group), (1, 1, 1, group), "VALID",
+        v, neg_inf, lax.max, (1, 1, 1, group), (1, 1, 1, group), "VALID",
     )
-    e = jnp.exp(v - jnp.repeat(m, group, axis=-1).astype(v.dtype))
+    e = jnp.exp(v - jnp.repeat(m, group, axis=-1))
     s = lax.reduce_window(
-        e.astype(jnp.float32), jnp.asarray(0.0, jnp.float32), lax.add,
+        e, jnp.asarray(0.0, v.dtype), lax.add,
         (1, 1, 1, group), (1, 1, 1, group), "VALID",
     )
-    inv = (1.0 / s).astype(v.dtype)
+    inv = (1.0 / s.astype(jnp.float32)).astype(v.dtype)
     return e * jnp.repeat(inv, group, axis=-1)
 
 
@@ -474,6 +505,9 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
         for nid in graph.out_nodes:
             out = raw[nid] if out is None else out + raw[nid]
         out = out / len(graph.out_nodes)
+        if spec.attn_native:
+            return _attention_apply(prm["attention"], spec.heads,
+                                    depth_to_space(out))
         return _attention_s2d(prm["attention"], spec.heads, spec.channels, out)
 
     results = {}
@@ -622,13 +656,15 @@ def _decoder_stage_apply(prm, cfg, x, feature_map, skip, disparity, disp_scale):
 
 def make_serving_forward(model, variables, s2d_stages=(0, 1),
                          dtype: Optional[Any] = jnp.bfloat16,
-                         s2d_conv_backend="pallas", fused_stages=(2, 3, 4)):
+                         s2d_conv_backend="pallas", fused_stages=(2, 3, 4),
+                         s2d_attention="s2d"):
     """Returns ``(forward, params)`` where ``forward(params, x, disp_scale=1.0)``
     computes the full-resolution 4-channel [l_disp, r_disp, l_unc, r_unc]
     map (the reference's eval output, model/decoder.py:59-62)."""
     (enc_specs, dec_specs), params = build_serving_params(
         model, variables, s2d_stages=s2d_stages, dtype=dtype,
         s2d_conv_backend=s2d_conv_backend, fused_stages=fused_stages,
+        s2d_attention=s2d_attention,
     )
 
     def forward(params, x, disp_scale=1.0):
@@ -642,11 +678,13 @@ def make_serving_forward(model, variables, s2d_stages=(0, 1),
             # the decoder consumes native-layout skips; consecutive s2d
             # stages hand the s2d tensor over directly (no conversion) and
             # the single depth_to_space here is reused for both the skip
-            # AND the first non-s2d-input successor
-            native = depth_to_space(h) if spec.s2d else h
+            # AND the first non-s2d-input successor.  (attn_native stages
+            # already return native tensors.)
+            emits_s2d = spec.s2d and not spec.attn_native
+            native = depth_to_space(h) if emits_s2d else h
             feats.append(native)
             next_spec = enc_specs[i + 1] if i + 1 < len(enc_specs) else None
-            if spec.s2d and not (next_spec is not None and next_spec.s2d_in):
+            if emits_s2d and not (next_spec is not None and next_spec.s2d_in):
                 h = native
 
         f1, f2, f3, f4, x4 = feats
