@@ -90,35 +90,40 @@ def main():
         import yaml
         loss_cfg = yaml.load(f, Loader=yaml.Loader)["loss"]
 
-    model = RandomlyConnectedModel.from_config(**cfg["model"])
-    trainer = Trainer(model, loss_cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0), (1, 256, 512, 3))
     batch = {
         "left": jnp.asarray(rng.uniform(size=(B, 256, 512, 3)).astype(np.float32)),
         "right": jnp.asarray(rng.uniform(size=(B, 256, 512, 3)).astype(np.float32)),
     }
     from uncertainty_model_tpu.parallel import shard_batch
-    sharded = shard_batch(batch, trainer.mesh)
 
-    def step_once(state):
-        new_state, metrics = trainer._train_step(
-            state, sharded, jnp.float32(0.3), jnp.float32(1e-4), jnp.int32(1)
-        )
-        return new_state, metrics
+    # f32 (reference precision, train/train.py:112-129) and mixed bf16
+    # (bf16 module compute, f32 master params/losses — the --precision
+    # bfloat16 CLI path, cli/main.py:98-101)
+    for label, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+        model = RandomlyConnectedModel.from_config(**cfg["model"], dtype=dtype)
+        trainer = Trainer(model, loss_cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), (1, 256, 512, 3))
+        sharded = shard_batch(batch, trainer.mesh)
 
-    # warm/compile
-    state, metrics = step_once(state)
-    float(metrics["disp_loss"])
-    print("train step compiled", flush=True)
-    ts = []
-    for _ in range(4):
-        t0 = time.perf_counter()
+        def step_once(state):
+            new_state, metrics = trainer._train_step(
+                state, sharded, jnp.float32(0.3), jnp.float32(1e-4), jnp.int32(1)
+            )
+            return new_state, metrics
+
+        # warm/compile
         state, metrics = step_once(state)
-        float(metrics["disp_loss"])  # completion barrier (scalar fetch)
-        ts.append(time.perf_counter() - t0)
-    best = min(ts)
-    print(f"train step f32 b8: {best*1e3:.1f} ms -> {B/(best-overhead):.1f} img/s "
-          f"(overhead-corrected)", flush=True)
+        float(metrics["disp_loss"])
+        print(f"train step ({label}) compiled", flush=True)
+        ts = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            state, metrics = step_once(state)
+            float(metrics["disp_loss"])  # completion barrier (scalar fetch)
+            ts.append(time.perf_counter() - t0)
+        best = min(ts)
+        print(f"train step {label} b8: {best*1e3:.1f} ms -> "
+              f"{B/(best-overhead):.1f} img/s (overhead-corrected)", flush=True)
 
 
 if __name__ == "__main__":
