@@ -90,6 +90,32 @@ class TestServingParity:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_cmajor_decoder_equivalent(self, trained_variables):
+        """decoder_backend='cmajor' (channel-major fully-fused decoder
+        chain, ops/pallas/decoder_cmajor.py) must match the direct path:
+        every layout shuffle and conv restacking is a build-time kernel
+        rearrangement."""
+        model, variables = trained_variables
+        x = jax.random.uniform(jax.random.PRNGKey(11), (2, *TINY_INPUT, 3))
+
+        fwd_direct, p_direct = make_serving_forward(
+            model, variables, s2d_stages=(), dtype=None)
+        fwd_cm, p_cm = make_serving_forward(
+            model, variables, s2d_stages=(), dtype=None,
+            decoder_backend="cmajor")
+
+        a = fwd_direct(p_direct, x, 0.7)
+        b = fwd_cm(p_cm, x, 0.7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_cmajor_requires_suffix(self, trained_variables):
+        model, variables = trained_variables
+        with pytest.raises(ValueError, match="contiguous suffix"):
+            make_serving_forward(model, variables, dtype=None,
+                                 decoder_backend="cmajor",
+                                 fused_stages=(2, 3))
+
     def test_conv_se_variant(self):
         """fc=False decoder stages (reference model/layers/decoder.py:111-136
         conv-SE variant) fold and serve correctly (round-2 VERDICT missing

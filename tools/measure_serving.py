@@ -21,6 +21,7 @@ def main():
     batch = int(args[0]) if args and args[0].isdigit() else 128
     s2d = (0, 1)
     backend = "pallas"
+    dec_backend = "fused"
     if "--direct" in args:
         s2d = ()
     for i, a in enumerate(args):
@@ -28,6 +29,8 @@ def main():
             s2d = tuple(int(v) for v in args[i + 1].split(",") if v != "")
         if a == "--conv-backend":
             backend = args[i + 1]
+        if a == "--decoder":
+            dec_backend = args[i + 1]
 
     import jax
     import jax.numpy as jnp
@@ -66,12 +69,13 @@ def main():
                                jnp.zeros((1, 256, 512, 3)), disp_scale=1.0)
         fwd, params = make_serving_forward(model, variables, s2d_stages=s2d,
                                            dtype=jnp.bfloat16,
-                                           s2d_conv_backend=backend)
+                                           s2d_conv_backend=backend,
+                                           decoder_backend=dec_backend)
 
         def apply_fn(params, x):
             return fwd(params, x)
 
-        label = f"serving s2d={s2d} backend={backend}"
+        label = f"serving s2d={s2d} backend={backend} decoder={dec_backend}"
         operand = params
 
     sec = measure_forward(apply_fn, operand, batch)

@@ -52,6 +52,7 @@ from .ops.s2d import (
     s2d_out_stride2_conv_kernel,
 )
 from .ops.pallas.decoder_fused import assemble_z, gate_z
+from .ops.pallas.decoder_cmajor import _align8, assemble_cm, tail_cm
 
 _DN = ("NHWC", "HWIO", "NHWC")
 _BN_EPS = 1e-5
@@ -139,9 +140,17 @@ def _node_gates(node, mean_weight, parity_weight_indexing=True):
     return jnp.stack([g[i] for i in idx])
 
 
+def _stack_kt(k):
+    """(3, 3, Ci, Co) HWIO -> (3, Co, 3Ci): the column-tap-stacked transposed
+    kernel the channel-major tail kernel contracts against (decoder_cmajor)."""
+    return jnp.stack([
+        jnp.concatenate([k[u, v] for v in range(3)], axis=0).T
+        for u in range(3)])
+
+
 def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16,
                          s2d_conv_backend="pallas", fused_stages=(2, 3, 4),
-                         s2d_attention="s2d"):
+                         s2d_attention="s2d", decoder_backend="fused"):
     """Fold a trained model's variables into the serving parameter tree.
 
     Returns ``(specs, params)``: ``specs`` is static (closed over by the
@@ -241,7 +250,11 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
         #   - when the PREVIOUS stage is fused, its full cat tensor is this
         #     stage's skip handle: the se_conv skip half is zero-embedded to
         #     cat's channel count (z sits first, so rows [0, cso_prev))
-        cfg["fused"] = i in fused_stages and cfg.get("scale", 2) == 2
+        eligible = i in fused_stages and cfg.get("scale", 2) == 2
+        cfg["fused"] = eligible and decoder_backend == "fused"
+        cfg["cmajor"] = eligible and decoder_backend == "cmajor"
+        cfg["disp_in_ch"] = (prev_disp_ch if cfg.get("concat_disp", True)
+                             else 0)
         if cfg["fused"]:
             cu = cfg["upsample_channels"]
             cso = cfg["skip_out_channels"]
@@ -290,6 +303,52 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
                              "bias": sp["disp"]["conv"]["bias"]}
         dec_specs.append(cfg)
         dec_params.append(stage)
+
+    # channel-major fully-fused chain (ops/pallas/decoder_cmajor.py):
+    # rewrite each marked stage's folded convs into the kernel forms, and
+    # link consecutive stages — stage i's tail computes stage i+1's
+    # upsample conv and SE skip projection, so the chain must be a
+    # contiguous SUFFIX of the decoder ('out' never exists outside the
+    # kernels; a non-cmajor successor would have nothing to consume).
+    flags = [c.get("cmajor", False) for c in dec_specs]
+    if any(flags):
+        first = flags.index(True)
+        if not all(flags[first:]):
+            raise ValueError(
+                "decoder_backend='cmajor' requires the fused stages to form "
+                f"a contiguous suffix of the decoder, got mask {flags} "
+                "(adjust fused_stages)")
+        for i in range(first, len(dec_specs)):
+            cfg, stage = dec_specs[i], dec_params[i]
+            cu = cfg["upsample_channels"]
+            cso = cfg["skip_out_channels"]
+            cf = cfg["feature_in_channels"]
+            se_old = stage.pop("se_conv")
+            stage["kfm"] = se_old["kernel"][0, 0, :cf].T
+            stage["se_bias"] = se_old["bias"]
+            ki = stage.pop("iconv")
+            ki_perm = jnp.concatenate(
+                [ki["kernel"][:, :, cu:cu + cso], ki["kernel"][:, :, :cu],
+                 ki["kernel"][:, :, cu + cso:]], axis=2)
+            stage["kt_ic"] = _stack_kt(ki_perm)
+            stage["b_ic"] = ki["bias"]
+            if cfg.get("calculate_disp", True):
+                d = stage.pop("disp")
+                stage["kt_d"] = _stack_kt(d["kernel"])
+                stage["b_d"] = d["bias"]
+            ku = stage.pop("upsample_conv")
+            perm = jnp.asarray(
+                [c * 4 + pph for pph in range(4) for c in range(cu)])
+            kup, bup = ku["kernel"][..., perm], ku["bias"][perm]
+            if i > first:
+                # produced by the previous stage's tail kernel
+                dec_params[i - 1]["kt_up_next"] = _stack_kt(kup)
+                dec_params[i - 1]["bup_next"] = bup
+                dec_params[i - 1]["ksk_next"] = se_old["kernel"][0, 0, cf:].T
+            else:
+                # entry from XLA-land (previous stage is unfused)
+                stage["up_entry"] = {"kernel": kup, "bias": bup}
+                stage["skip_entry"] = {"kernel": se_old["kernel"][:, :, cf:]}
 
     params = {"encoder": enc_params, "decoder": dec_params}
     if dtype is not None:
@@ -612,6 +671,60 @@ def _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip, disparity,
     return out, cat, disp
 
 
+def _to_cm(x):
+    """(B, H, W, C) -> (H, C, W, B) channel-major (a REAL relayout — only
+    used on chain-entry tensors and per-stage feature maps)."""
+    return jnp.transpose(x, (1, 3, 2, 0))
+
+
+def _pad_cm(t):
+    """Zero-pad rows/cols by 1 and align the padded width to 8 — the
+    assemble_cm half-res input convention (edge lerp weights are exactly
+    0/1, so the pad values never contribute)."""
+    h2, c, w2, b = t.shape
+    wa = _align8(w2 + 2)
+    return jnp.pad(t, ((1, 1), (0, 0), (1, wa - w2 - 1), (0, 0)))
+
+
+def _decoder_stage_cmajor(prm, cfg, carry, x, feature_map, skip, disparity,
+                          disp_scale):
+    """One channel-major fully-fused decoder stage (decoder_cmajor.py).
+
+    ``carry`` is ``(xc_t, sk_t, disp_t)`` from the previous stage's tail
+    kernel (None on chain entry, where the upsample conv and skip
+    projection run in XLA and get relayouted once).  Returns
+    ``(disp_t, carry_next)`` — both in (H, C, W, B) layout.
+    """
+    cu = cfg["upsample_channels"]
+    cso = cfg["skip_out_channels"]
+    co = cfg["out_channels"]
+    cd_in = cfg["disp_in_ch"]
+    h, w = feature_map.shape[1], feature_map.shape[2]
+
+    if carry is None:
+        xc = _rconv(x, prm["up_entry"]["kernel"], prm["up_entry"]["bias"])
+        xc_t = _to_cm(xc)
+        sk_t = _to_cm(_conv1x1(skip, prm["skip_entry"]["kernel"]))
+        disp_t = _to_cm(disparity) if cd_in else None
+    else:
+        xc_t, sk_t, disp_t = carry
+
+    cat, sums = assemble_cm(
+        _to_cm(feature_map), prm["kfm"], xc_t, _pad_cm(sk_t),
+        _pad_cm(disp_t) if cd_in else None, prm["se_bias"], cso, cu, cd_in)
+    mean = (sums / jnp.float32(h * w)).T
+    gates = _se_gates(prm["se"], mean, cat.dtype).T
+
+    cd_out = (cfg.get("disp_channels", 4)
+              if cfg.get("calculate_disp", True) else 0)
+    disp_out, xc_n, sk_n = tail_cm(
+        cat, gates, prm["kt_ic"], prm["b_ic"],
+        prm.get("kt_d"), prm.get("b_d"), disp_scale,
+        prm.get("kt_up_next"), prm.get("bup_next"), prm.get("ksk_next"),
+        cso, co, cd_out, w)
+    return disp_out, (xc_n, sk_n, disp_out)
+
+
 def _decoder_stage_apply(prm, cfg, x, feature_map, skip, disparity, disp_scale):
     if cfg.get("fused"):
         return _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip,
@@ -657,14 +770,14 @@ def _decoder_stage_apply(prm, cfg, x, feature_map, skip, disparity, disp_scale):
 def make_serving_forward(model, variables, s2d_stages=(0, 1),
                          dtype: Optional[Any] = jnp.bfloat16,
                          s2d_conv_backend="pallas", fused_stages=(2, 3, 4),
-                         s2d_attention="s2d"):
+                         s2d_attention="s2d", decoder_backend="fused"):
     """Returns ``(forward, params)`` where ``forward(params, x, disp_scale=1.0)``
     computes the full-resolution 4-channel [l_disp, r_disp, l_unc, r_unc]
     map (the reference's eval output, model/decoder.py:59-62)."""
     (enc_specs, dec_specs), params = build_serving_params(
         model, variables, s2d_stages=s2d_stages, dtype=dtype,
         s2d_conv_backend=s2d_conv_backend, fused_stages=fused_stages,
-        s2d_attention=s2d_attention,
+        s2d_attention=s2d_attention, decoder_backend=decoder_backend,
     )
 
     def forward(params, x, disp_scale=1.0):
@@ -690,16 +803,24 @@ def make_serving_forward(model, variables, s2d_stages=(0, 1),
         f1, f2, f3, f4, x4 = feats
         dp = params["decoder"]
 
-        def stage(i, *a):
+        # hard-wired 5-stage dataflow (reference model/decoder.py:49-57):
+        # the deepest map is its own skip; cmajor stages thread a carry of
+        # channel-major tensors between kernels instead of out/skip/disp
+        fms = (f4, f3, f2, f1, x)
+        out, skip, disp = x4, x4, None
+        carry = None
+        for i, cfg in enumerate(dec_specs):
             with jax.named_scope(f"dec{i}"):
-                return _decoder_stage_apply(dp[i], dec_specs[i], *a,
-                                            disp_scale=disp_scale)
-
-        out5, skip5, _ = stage(0, x4, f4, x4, None)
-        out4, skip4, disp4 = stage(1, out5, f3, skip5, None)
-        out3, skip3, disp3 = stage(2, out4, f2, skip4, disp4)
-        out2, skip2, disp2 = stage(3, out3, f1, skip3, disp3)
-        _, _, disp1 = stage(4, out2, x, skip2, disp2)
-        return disp1
+                if cfg.get("cmajor"):
+                    disp_cm, carry = _decoder_stage_cmajor(
+                        dp[i], cfg, carry, out, fms[i], skip, disp,
+                        disp_scale)
+                else:
+                    out, skip, disp = _decoder_stage_apply(
+                        dp[i], cfg, out, fms[i], skip, disp,
+                        disp_scale=disp_scale)
+        if dec_specs[-1].get("cmajor"):
+            return jnp.transpose(disp_cm, (3, 0, 2, 1))
+        return disp
 
     return forward, params
