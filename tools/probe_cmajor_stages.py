@@ -25,6 +25,7 @@ import uncertainty_model_tpu.ops.pallas.decoder_cmajor as dc
 B = 128
 # stage: (h, w, cf, cso, cu, cd_in, co, cd_out, cu4_next, cso_next)
 STAGES = {
+    0: (16, 32, 8, 16, 8, 4, 16, 4, 8, 8),   # tiny: fast-compile repro
     2: (64, 128, 64, 128, 32, 4, 128, 4, 64, 64),
     3: (128, 256, 32, 64, 16, 4, 64, 4, 32, 32),
     4: (256, 512, 3, 32, 8, 4, 32, 4, 0, 0),

@@ -59,6 +59,11 @@ _INTERPRET = False  # tests flip this to exercise the kernels off-TPU
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 
+# debug-only: comma list of kernel sections to skip while bisecting Mosaic
+# compile failures (tools/probe_assemble_bisect.py); NEVER set in production
+import os as _os
+_STRIP = set(filter(None, _os.environ.get("UMT_CM_STRIP", "").split(",")))
+
 
 def _use_kernel() -> bool:
     return jax.default_backend() == "tpu" or _INTERPRET
@@ -73,22 +78,45 @@ def _align8(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _col_weights_cm(n, scale, dt):
-    """(1, 1, n, 1) lerp fractions for even/odd output columns (the C-major
-    sibling of decoder_fused._col_weights — same f32 math, bit-identical)."""
-    m = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n, 1), 2)
-    fm = m.astype(jnp.float32)
-    few = scale * (2.0 * fm) - (fm - 1.0)
-    fow = scale * (2.0 * fm + 1.0) - fm
-    return few.astype(dt), fow.astype(dt)
+def _col_weights_cm(n2, scale, dt):
+    """Full-res column lerp fractions f (1, 1, n2, 1) and the odd-parity
+    mask.  f[w] = scale*w - floor((w-1)/2) — identical f32 values to
+    decoder_fused._col_weights' even/odd pair (w=2m: scale*2m - (m-1);
+    w=2m+1: scale*(2m+1) - m), just computed on the interleaved axis."""
+    w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n2, 1), 2)
+    f = scale * w.astype(jnp.float32) - ((w - 1) // 2).astype(jnp.float32)
+    odd = (w % 2) == 1
+    return f.astype(dt), odd
 
 
-def _up2_block_cm(buf, fe, fo, few, fow, rh, n):
+def _interleave_cols(ec, oc):
+    """Interleave two (..., n, B) column sets into (..., 2n, B).
+
+    Expressed as a LANE concat + minor reshape: element (m, l) of the
+    concatenated (..., n, 2B) value maps to flat index m*2B + l =
+    (col 2m + l//B, lane l%B) — the exact column interleave — and at B=128
+    both steps are tile-exact vreg relabelings.  The sublane-dim
+    ``stack(axis=-2).reshape`` formulation of the same interleave made the
+    Mosaic compiler explode (227 s for one stripped kernel, measured)."""
+    s = ec.shape
+    return jnp.concatenate([ec, oc], axis=-1).reshape(
+        *s[:-2], 2 * s[-2], s[-1])
+
+
+def _up2_block_cm(buf, fe, fo, f, odd, rh, n):
     """2x align_corners upsample of a zero-padded half-res block in C-major.
 
     ``buf``: (rh+2, C, >=n+2, B) — half rows [r0-1, r0+rh+1), half cols
     [-1, n+1) plus alignment slack (pad cols are weightless: frac(0)==1
-    exactly).  Returns (2rh, C, 2n, B)."""
+    exactly).  Returns (2rh, C, 2n, B).
+
+    Column handling: interleave FIRST (on canonical-layout rows — Mosaic
+    rejects the lane-interleave reshape when its operands carry a sublane
+    shift), producing the nearest-neighbour doubling U[k] = rows[k//2];
+    the lerp endpoints are then plain full-res shifted slices selected by
+    column parity: out[w] = L + f[w]*(R - L) with L = U[w + (w odd)],
+    R = U[w + 2 + (w odd)].  Identical f32/bf16 math to the even/odd
+    half-res formulation (decoder_fused._up2_block)."""
     c, b = buf.shape[1], buf.shape[3]
     buf = buf[:, :, 0:n + 2]
     prev, cur, nxt = buf[0:rh], buf[1:rh + 1], buf[2:rh + 2]
@@ -97,10 +125,11 @@ def _up2_block_cm(buf, fe, fo, few, fow, rh, n):
     er = prev + fe * (cur - prev)
     orow = cur + fo * (nxt - cur)
     rows = jnp.stack([er, orow], axis=1).reshape(2 * rh, c, n + 2, b)
-    pc, cc, nc = rows[:, :, 0:n], rows[:, :, 1:n + 1], rows[:, :, 2:n + 2]
-    ec = pc + few * (cc - pc)
-    oc = cc + fow * (nc - cc)
-    return jnp.stack([ec, oc], axis=3).reshape(2 * rh, c, 2 * n, b)
+    u = _interleave_cols(rows, rows)          # (2rh, c, 2n+4, b)
+    n2 = 2 * n
+    left = jnp.where(odd, u[:, :, 1:n2 + 1], u[:, :, 0:n2])
+    right = jnp.where(odd, u[:, :, 3:n2 + 3], u[:, :, 2:n2 + 2])
+    return left + f * (right - left)
 
 
 def _reflect_cols(v, w):
@@ -136,7 +165,7 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
     wp = obuf.shape[2]
     b = obuf.shape[3]
     fe, fo = _row_weights(i, rh, sh, dt)
-    few, fow = _col_weights_cm(w2, sw, dt)
+    fcol, odd = _col_weights_cm(w, sw, dt)
     bias = b_ref[...].astype(jnp.float32)  # (cso, 1) broadcasts over W*B
     kfm = kfm_ref[...]
 
@@ -150,12 +179,12 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
             [v[:, :, 1:2], v, v[:, :, w - 2:w - 1], zp], axis=2)
 
     # --- upsample path: pixel shuffle of elu(xc), channels phase-major ---
-    for r in range(rh):
+    for r in range(rh) if "xup" not in _STRIP else ():
         planes = [_elu(xc_ref[r, p * cu:(p + 1) * cu]).astype(dt)
                   for p in range(4)]
         # (cu, w2, b) planes -> two full-res rows, cols interleaved
-        rows = [jnp.stack([planes[2 * a], planes[2 * a + 1]],
-                          axis=2).reshape(cu, w, b) for a in (0, 1)]
+        rows = [_interleave_cols(planes[2 * a], planes[2 * a + 1])
+                for a in (0, 1)]
         xup = jnp.stack(rows, axis=0)                      # (2, cu, w, b)
         obuf[2 * r:2 * r + 2, cso:cso + cu] = _padded(xup, zpad)
 
@@ -163,9 +192,9 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
     cp_s.wait()
     sb = sbuf[...]
     acc = jnp.zeros(sum_ref.shape, sum_ref.dtype)
-    for r in range(rh):
+    for r in range(rh) if "z" not in _STRIP else ():
         up = _up2_block_cm(sb[r:r + 3], fe[r:r + 1], fo[r:r + 1],
-                           few, fow, 1, w2)                # (2, cso, w, b)
+                           fcol, odd, 1, w2)               # (2, cso, w, b)
         se_fm = jnp.stack([
             jax.lax.dot_general(
                 kfm, fm_ref[2 * r + j].reshape(cf, w * b),
@@ -181,12 +210,12 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
     sum_ref[...] += acc
 
     # --- disparity path: up2(disp) ---
-    if cd:
+    if cd and "disp" not in _STRIP:
         cp_d.wait()
         db = dbuf[...]
         for r in range(rh):
             up = _up2_block_cm(db[r:r + 3], fe[r:r + 1], fo[r:r + 1],
-                               few, fow, 1, w2).astype(dt)
+                               fcol, odd, 1, w2).astype(dt)
             obuf[2 * r:2 * r + 2, cso + cu:cso + cu + cd] = _padded(
                 up, jnp.zeros((2, cd, wp - w - 2, b), dt))
 
@@ -200,6 +229,9 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
     # row 1 := real row 1 — the value tail_cm's interior taps actually
     # need; padded row 0 / H+3 are only read by out rows that get
     # @pl.when-substituted, but exact reflect keeps the buffer meaningful)
+    if "border" in _STRIP:
+        return
+
     @pl.when(i == 0)
     def _():
         for src, dst in ((2, 0), (1, 1)):
