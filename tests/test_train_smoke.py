@@ -99,6 +99,10 @@ class TestTrainStep:
         perturbed = state.replace(
             disc_batch_stats=jax.tree.map(
                 lambda s: s * 7.0 + 1.0, state.disc_batch_stats))
+        # _train_step donates its state; the two calls must not share
+        # buffers (perturbed aliases every non-perturbed leaf of state)
+        state = jax.tree.map(jnp.copy, state)
+        perturbed = jax.tree.map(jnp.copy, perturbed)
 
         out_a, m_a = trainer._train_step(
             state, batch, jnp.float32(0.3), jnp.float32(1e-3), step)

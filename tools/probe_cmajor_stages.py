@@ -85,7 +85,11 @@ def main():
                       f"{str(e)[:200]}", flush=True)
 
         if which in ("tail", "both"):
-            cat = rand((h + 4, ccat, wp, B))
+            # assemble emits align8-padded channels with a zeroed pad block
+            ccatp = dc._align8(ccat)
+            cat = rand((h + 4, ccatp, wp, B))
+            if ccatp > ccat:
+                cat = cat.at[:, ccat:].set(0)
             gates = jnp.asarray(rng.uniform(size=(cso, B)), jnp.float32)
             kt_ic = rand((3, co, 3 * ccat), 0.1)
             bic = jnp.zeros((co,), jnp.float32)

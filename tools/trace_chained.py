@@ -27,11 +27,14 @@ def main():
               else "/tmp/trace_chained")
     s2d = ()
     k = 3
+    dec_backend = "fused"
     for i, a in enumerate(args):
         if a == "--s2d":
             s2d = tuple(int(v) for v in args[i + 1].split(",") if v != "")
         if a == "--k":
             k = int(args[i + 1])
+        if a == "--decoder":     # fused | cmajor | direct (no fused stages)
+            dec_backend = args[i + 1]
 
     import jax
     import jax.numpy as jnp
@@ -51,7 +54,9 @@ def main():
     raw = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 512, 3)),
                      disp_scale=1.0)
     serving_fwd, variables = make_serving_forward(
-        model, raw, s2d_stages=s2d, dtype=jnp.bfloat16)
+        model, raw, s2d_stages=s2d, dtype=jnp.bfloat16,
+        fused_stages=() if dec_backend == "direct" else (2, 3, 4),
+        decoder_backend=dec_backend if dec_backend != "direct" else "fused")
 
     @jax.jit
     def run(variables, x):

@@ -32,6 +32,16 @@ contiguous ``(C, W*B)`` 2-D value, so each kernel-row tap is one
 ``(Co, 3C) @ (3C, W*B)`` MXU dot (column taps stacked into K — K=3C fills
 the 128-deep MXU far better than K=C).
 
+tail_cm's slab is read from HBM directly in MERGED-LANE form ``(rows, Cp,
+Wp*B)`` (Cp = align8(Ccat) — assemble writes the zero pad): HBM is linear
+bytes, so the DMA into a (Cp, Wp*B)-tiled VMEM buffer performs the
+(W,B)->W*B "relayout" for free, a column tap v is the lane-tile-aligned
+slice ``[:, v*B : v*B + W*B]`` (B=128 = exactly one lane tile), and the
+3-tap K-stack is an 8-aligned sublane concat.  The first cut of this
+kernel instead kept a 4-D ``(rows, C, Wp, B)`` slab and reshaped
+``(3, C, W, B) -> (3C, W*B)`` per tap — a sublane->lane relayout that
+Mosaic compiled for >22 minutes at stage 4 (W=512, 18 sites).
+
 Reference semantics anchored: model/layers/decoder.py:210-249 (DecoderStage
 dataflow), decoder.py:111-136 (SELayer), decoder.py:37-46 (reflect-padded
 ConvLayer), torch F.interpolate align_corners=True (exact coefficient math:
@@ -132,13 +142,6 @@ def _up2_block_cm(buf, fe, fo, f, odd, rh, n):
     return left + f * (right - left)
 
 
-def _reflect_cols(v, w):
-    """[v[..., 1], v[..., 0:w], v[..., w-2]] — the 1-px reflect extension on
-    the W axis of a (..., W, B) value (torch ReflectionPad2d semantics)."""
-    return jnp.concatenate(
-        [v[..., 1:2, :], v[..., 0:w, :], v[..., w - 2:w - 1, :]], axis=-2)
-
-
 # ---------------------------------------------------------------------------
 # kernel 1: assemble the padded concat tensor + SE sums
 # ---------------------------------------------------------------------------
@@ -161,9 +164,34 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
     def _():
         sum_ref[...] = jnp.zeros(sum_ref.shape, sum_ref.dtype)
 
+    # ping-pong output buffer: program i computes into slot i%2 and starts
+    # its writeback WITHOUT waiting (the wait happens two programs later,
+    # or in the drain at the last program) — the ~2rh full-res-row DMA
+    # overlaps the next program's compute instead of serializing after it
+    p = jax.lax.rem(i, 2)
+    ob = obuf.at[p]
+
+    def out_dma(slot, prog):
+        return pltpu.make_async_copy(
+            obuf.at[slot], cat_ref.at[pl.ds(2 * prog * rh + 2, 2 * rh)],
+            sem.at[3 + slot])
+
+    @pl.when(i >= 2)
+    def _():
+        out_dma(p, i - 2).wait()
+
+    # zero the align8 channel-pad block [ccat, ccatp) — tail_cm's iconv
+    # contracts over the padded channels (with zero kernel columns), so
+    # they must hold zeros, not stale VMEM
+    ccat = cso + cu + cd
+    if obuf.shape[2] > ccat:
+        ob[:, ccat:] = jnp.zeros(
+            (obuf.shape[1], obuf.shape[2] - ccat) + obuf.shape[3:],
+            obuf.dtype)
+
     dt = cat_ref.dtype
-    wp = obuf.shape[2]
-    b = obuf.shape[3]
+    wp = obuf.shape[3]
+    b = obuf.shape[4]
     fe, fo = _row_weights(i, rh, sh, dt)
     fcol, odd = _col_weights_cm(w, sw, dt)
     bias = b_ref[...].astype(jnp.float32)  # (cso, 1) broadcasts over W*B
@@ -180,13 +208,13 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
 
     # --- upsample path: pixel shuffle of elu(xc), channels phase-major ---
     for r in range(rh) if "xup" not in _STRIP else ():
-        planes = [_elu(xc_ref[r, p * cu:(p + 1) * cu]).astype(dt)
-                  for p in range(4)]
+        planes = [_elu(xc_ref[r, ph * cu:(ph + 1) * cu]).astype(dt)
+                  for ph in range(4)]
         # (cu, w2, b) planes -> two full-res rows, cols interleaved
         rows = [_interleave_cols(planes[2 * a], planes[2 * a + 1])
                 for a in (0, 1)]
         xup = jnp.stack(rows, axis=0)                      # (2, cu, w, b)
-        obuf[2 * r:2 * r + 2, cso:cso + cu] = _padded(xup, zpad)
+        ob[2 * r:2 * r + 2, cso:cso + cu] = _padded(xup, zpad)
 
     # --- z path: elu(fm @ kfm + up2(skipfeat) + bias), UNGATED ---
     cp_s.wait()
@@ -205,7 +233,7 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
         z32 = jnp.where(se > 0, se, jnp.exp(se) - 1.0)
         acc = acc + z32.sum(axis=(0, 2))
         z = z32.astype(dt)
-        obuf[2 * r:2 * r + 2, 0:cso] = _padded(
+        ob[2 * r:2 * r + 2, 0:cso] = _padded(
             z, jnp.zeros((2, cso, wp - w - 2, b), dt))
     sum_ref[...] += acc
 
@@ -216,14 +244,21 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
         for r in range(rh):
             up = _up2_block_cm(db[r:r + 3], fe[r:r + 1], fo[r:r + 1],
                                fcol, odd, 1, w2).astype(dt)
-            obuf[2 * r:2 * r + 2, cso + cu:cso + cu + cd] = _padded(
+            ob[2 * r:2 * r + 2, cso + cu:cso + cu + cd] = _padded(
                 up, jnp.zeros((2, cd, wp - w - 2, b), dt))
 
-    # --- write: real rows live at padded index +2 ---
-    cp_o = pltpu.make_async_copy(obuf, cat_ref.at[pl.ds(2 * i * rh + 2, 2 * rh)],
-                                 sem.at[2])
+    # --- write: real rows live at padded index +2 (async; see ping-pong) ---
+    cp_o = out_dma(p, i)
     cp_o.start()
-    cp_o.wait()
+
+    if nprog >= 2:
+        @pl.when(i == nprog - 1)
+        def _():
+            out_dma(1 - p, i - 1).wait()
+
+    @pl.when(i == nprog - 1)
+    def _():
+        cp_o.wait()
 
     # border programs fill the 2-row slack with the reflect rows (padded
     # row 1 := real row 1 — the value tail_cm's interior taps actually
@@ -235,7 +270,7 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
     @pl.when(i == 0)
     def _():
         for src, dst in ((2, 0), (1, 1)):
-            cp_b = pltpu.make_async_copy(obuf.at[pl.ds(src, 1)],
+            cp_b = pltpu.make_async_copy(obuf.at[p, pl.ds(src, 1)],
                                          cat_ref.at[pl.ds(dst, 1)], sem.at[2])
             cp_b.start()
             cp_b.wait()
@@ -245,7 +280,7 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
         base = 2 * i * rh + 2
         for src, dst in ((2 * rh - 2, base + 2 * rh),
                          (2 * rh - 3, base + 2 * rh + 1)):
-            cp_b = pltpu.make_async_copy(obuf.at[pl.ds(src, 1)],
+            cp_b = pltpu.make_async_copy(obuf.at[p, pl.ds(src, 1)],
                                          cat_ref.at[pl.ds(dst, 1)], sem.at[2])
             cp_b.start()
             cp_b.wait()
@@ -255,17 +290,17 @@ def _assemble_cm_kernel(fm_ref, kfm_ref, b_ref, xc_ref, skip_any, disp_any,
 def _assemble_cm_pallas(fm_t, kfm, xc_t, skip_t, disp_t, bias, cso, cu, cd):
     """fm_t (H, Cf, W, B); xc_t (H2, 4cu, W2, B); skip_t/disp_t
     (H2+2, C, W2a, B) zero-padded rows/cols (W2a = align8(W2+2)); returns
-    cat (H+4, Ccat, Wp, B) with 1-col reflect pad at [0] and [W+1], and
-    sums (cso, B) f32."""
+    cat (H+4, align8(Ccat), Wp, B) with 1-col reflect pad at [0] and [W+1]
+    and zeroed channel pad, and sums (cso, B) f32."""
     h, cf, w, b = fm_t.shape
     h2, w2 = xc_t.shape[0], xc_t.shape[2]
-    ccat = cso + cu + cd
+    ccat = _align8(cso + cu + cd)  # channel pad zeroed in-kernel
     wp = _align8(w + 2)
 
     sh = np.float32(h2 - 1) / np.float32(h - 1)
     sw = np.float32(w2 - 1) / np.float32(w - 1)
 
-    rh = 2 if w >= 512 else 4
+    rh = 2  # the ping-pong obuf doubles VMEM; 2 half-rows/program fits all
     while rh > 1 and h2 % rh:
         rh //= 2
     nprog = h2 // rh
@@ -297,8 +332,8 @@ def _assemble_cm_pallas(fm_t, kfm, xc_t, skip_t, disp_t, bias, cso, cu, cd):
         scratch_shapes=[
             pltpu.VMEM((rh + 2, cso, w2a, b), fm_t.dtype),
             pltpu.VMEM((rh + 2, max(cd, 1), w2a, b), fm_t.dtype),
-            pltpu.VMEM((2 * rh, ccat, wp, b), fm_t.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 2 * rh, ccat, wp, b), fm_t.dtype),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_INTERPRET,
@@ -312,43 +347,52 @@ def _assemble_cm_pallas(fm_t, kfm, xc_t, skip_t, disp_t, bias, cso, cu, cd):
 # ---------------------------------------------------------------------------
 
 
-def _tail_cm_kernel(g_ref, kt_ic_ref, bic_ref, kt_d_ref, bd_ref, scale_ref,
+def _tail_cm_kernel(gt_ref, kt_ic_ref, bic_ref, kt_d_ref, bd_ref, scale_ref,
                     kt_up_ref, bup_ref, ksk_ref, cat_any,
-                    disp_ref, xc_ref, sk_ref, slab, outbuf, sem,
-                    *, rb, w, ccat, cso, co, cd, nprog, emit_next):
+                    disp_ref, xc_ref, sk_ref, slab, outbuf, acc, sem,
+                    *, rb, w, b, cso, co, cd, nprog, emit_next):
     i = pl.program_id(0)
 
+    # merged-lane slab: (rb+4, Ccatp, Wp*B) — the DMA from linear HBM does
+    # the (W, B) -> W*B retiling for free
     cp = pltpu.make_async_copy(cat_any.at[pl.ds(i * rb, rb + 4)], slab, sem)
     cp.start()
-    g = g_ref[...]
+    gt = gt_ref[...]              # (cso, Wp*B): SE gates pre-tiled over W
     kt_ic = kt_ic_ref[...]
     cp.wait()
 
     dt = slab.dtype
-    b = slab.shape[3]
+    wb = w * b
 
-    # gate the z channel block in place (per-batch SE gates over lanes)
-    slab[:, 0:cso] = slab[:, 0:cso] * g[None, :, None, :].astype(dt)
+    # gate the z channel block in place (per-(channel, batch) SE gates;
+    # lane j = w*B + b, so the tile g[c, j % B] is exactly the gate map)
+    if "gate" not in _STRIP:
+        slab[:, 0:cso] = slab[:, 0:cso] * gt[None]
 
     sl = slab[...]
+
+    def taps3(row, off):
+        """K-stack of the 3 column taps: lane-tile-aligned slices, 8-aligned
+        sublane concat — no relayout.  row: (C, >= off + 2B + w*B)."""
+        return jnp.concatenate(
+            [row[:, off + v * b: off + v * b + wb] for v in range(3)], axis=0)
 
     # --- out rows [i*rb - 1, i*rb + rb + 1): 3x3 reflect iconv + ELU ---
     # slab row j = cat padded row i*rb + j = cat real row i*rb + j - 2,
     # so out row (local) r uses slab rows r .. r+2 for r in [0, rb+2).
     bic = bic_ref[...].astype(jnp.float32)
-    for r in range(rb + 2):
-        acc = None
+    for r in range(rb + 2) if "ic" not in _STRIP else ():
         for u in range(3):
-            row = sl[r + u]                                   # (ccat, wp, b)
-            rhs = jnp.stack([row[:, v:v + w] for v in range(3)],
-                            axis=0).reshape(3 * ccat, w * b)
             part = jax.lax.dot_general(
-                kt_ic[u], rhs, (((1,), (0,)), ((), ())),
+                kt_ic[u], taps3(sl[r + u], 0), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
-        y = acc + bic
+            if u == 0:
+                acc[0:co] = part
+            else:
+                acc[0:co] += part
+        y = acc[0:co] + bic
         y = jnp.where(y > 0, y, jnp.exp(y) - 1.0)
-        outbuf[r] = y.astype(dt).reshape(co, w, b)
+        outbuf[r] = y.astype(dt)
 
     # H-border reflect substitution: out[-1] := out[1], out[H] := out[H-2]
     @pl.when(i == 0)
@@ -359,65 +403,74 @@ def _tail_cm_kernel(g_ref, kt_ic_ref, bic_ref, kt_d_ref, bd_ref, scale_ref,
     def _():
         outbuf[rb + 1] = outbuf[rb - 1]
 
-    ob = outbuf[...]
+    def reflect_taps(row):
+        """1-px column reflect of an out row (co, w*B) then the 3-tap
+        K-stack: all slices at lane-tile offsets."""
+        refl = jnp.concatenate(
+            [row[:, b:2 * b], row, row[:, wb - 2 * b:wb - b]], axis=1)
+        return taps3(refl, 0)
 
     # --- disparity head: scale * sigmoid(3x3 reflect conv of out) ---
-    if cd:
+    if cd and "dh" not in _STRIP:
         kt_d = kt_d_ref[...]
         bd = bd_ref[...].astype(jnp.float32)
         scale = scale_ref[0, 0]
         for r in range(rb):
-            acc = None
+            dacc = None
             for u in range(3):
-                row = _reflect_cols(ob[r + u], w)             # (co, w+2, b)
-                rhs = jnp.stack([row[:, v:v + w] for v in range(3)],
-                                axis=0).reshape(3 * co, w * b)
                 part = jax.lax.dot_general(
-                    kt_d[u], rhs, (((1,), (0,)), ((), ())),
+                    kt_d[u], reflect_taps(outbuf[r + u]),
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                acc = part if acc is None else acc + part
-            y = scale * jax.nn.sigmoid(acc + bd)
-            disp_ref[r] = y.astype(dt).reshape(cd, w, b)
+                dacc = part if dacc is None else dacc + part
+            y = scale * jax.nn.sigmoid(dacc + bd)
+            disp_ref[r] = y.astype(dt)
 
-    if emit_next:
+    if emit_next and "up" not in _STRIP:
         # --- next stage's upsample conv: 3x3 reflect conv of out ---
         kt_up = kt_up_ref[...]
         bup = bup_ref[...].astype(jnp.float32)
-        cup = xc_ref.shape[1]
+        cup = kt_up.shape[1]
         for r in range(rb):
-            acc = None
             for u in range(3):
-                row = _reflect_cols(ob[r + u], w)
-                rhs = jnp.stack([row[:, v:v + w] for v in range(3)],
-                                axis=0).reshape(3 * co, w * b)
                 part = jax.lax.dot_general(
-                    kt_up[u], rhs, (((1,), (0,)), ((), ())),
+                    kt_up[u], reflect_taps(outbuf[r + u]),
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                acc = part if acc is None else acc + part
-            xc_ref[r] = (acc + bup).astype(dt).reshape(cup, w, b)
+                if u == 0:
+                    acc[0:cup] = part
+                else:
+                    acc[0:cup] += part
+            xc_ref[r] = (acc[0:cup] + bup).astype(dt)
 
+    if emit_next and "sk" not in _STRIP:
         # --- next stage's SE skip projection: 1x1 over the gated z ---
         ksk = ksk_ref[...]
-        csk = sk_ref.shape[1]
         for r in range(rb):
-            zrow = sl[r + 2, 0:cso, 1:w + 1].reshape(cso, w * b)
+            zrow = sl[r + 2, 0:cso, b:b + wb]
             part = jax.lax.dot_general(
                 ksk, zrow, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            sk_ref[r] = part.astype(dt).reshape(csk, w, b)
+            sk_ref[r] = part.astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("cso", "co", "cd", "w"))
 def _tail_cm_pallas(cat, gates, kt_ic, bic, kt_d, bd, scale, kt_up, bup,
                     ksk, cso, co, cd, w):
-    hp, ccat, wp, b = cat.shape
+    hp, ccatp, wp, b = cat.shape
     h = hp - 4
     emit_next = kt_up is not None
+    isz = jnp.dtype(cat.dtype).itemsize
+    wb = w * b
+    wpb = wp * b
 
-    rb = 2 if w >= 512 else 4
-    while rb > 1 and h % rb:
-        rb //= 2
-    nprog = h // rb
+    # pad the K-stacked kernels' per-tap channel blocks ccat -> ccatp (the
+    # zeroed cat channel pad contributes nothing)
+    ccat = kt_ic.shape[2] // 3
+    if ccatp > ccat:
+        kt_ic = jnp.pad(kt_ic.reshape(3, co, 3, ccat),
+                        ((0, 0), (0, 0), (0, 0), (0, ccatp - ccat))
+                        ).reshape(3, co, 3 * ccatp)
 
     cup = kt_up.shape[1] if emit_next else 1
     csk = ksk.shape[0] if emit_next else 1
@@ -429,18 +482,35 @@ def _tail_cm_pallas(cat, gates, kt_ic, bic, kt_d, bd, scale, kt_up, bup,
         kt_d = jnp.zeros((3, 1, 3 * co), cat.dtype)
         bd = jnp.zeros((1, 1), jnp.float32)
 
+    def vmem_need(rb):
+        slab = (rb + 4) * ccatp * wpb * isz
+        outbuf = (rb + 2) * co * wb * isz
+        accb = max(co, cup) * wb * 4
+        gt = 2 * cso * wpb * isz
+        blocks = 2 * rb * (max(cd, 1) + cup + csk) * wb * isz
+        return slab + outbuf + accb + gt + blocks
+
+    rb = next((c for c in (8, 4, 2, 1)
+               if h % c == 0 and vmem_need(c) <= 88 * 1024 * 1024), 1)
+    nprog = h // rb
+
+    # merged-lane views: free reshapes (row-major minor-dim merges)
+    cat2 = cat.reshape(hp, ccatp, wpb)
+    gt = jnp.tile(gates.astype(cat.dtype), (1, wp))
+
     out_shapes = [
-        jax.ShapeDtypeStruct((h, max(cd, 1), w, b), cat.dtype),   # disp
-        jax.ShapeDtypeStruct((h, cup, w, b), cat.dtype),          # xc_next
-        jax.ShapeDtypeStruct((h, csk, w, b), cat.dtype),          # skip_next
+        jax.ShapeDtypeStruct((h, max(cd, 1), wb), cat.dtype),   # disp
+        jax.ShapeDtypeStruct((h, cup, wb), cat.dtype),          # xc_next
+        jax.ShapeDtypeStruct((h, csk, wb), cat.dtype),          # skip_next
     ]
 
     disp, xc, sk = pl.pallas_call(
-        functools.partial(_tail_cm_kernel, rb=rb, w=w, ccat=ccat, cso=cso,
+        functools.partial(_tail_cm_kernel, rb=rb, w=w, b=b, cso=cso,
                           co=co, cd=cd, nprog=nprog, emit_next=emit_next),
         grid=(nprog,),
         in_specs=[
-            pl.BlockSpec((cso, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cso, wpb), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(kt_ic.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((co, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -458,29 +528,35 @@ def _tail_cm_pallas(cat, gates, kt_ic, bic, kt_d, bd, scale, kt_up, bup,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((rb, max(cd, 1), w, b), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((rb, max(cd, 1), wb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, cup, w, b), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((rb, cup, wb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, csk, w, b), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((rb, csk, wb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((rb + 4, ccat, wp, b), cat.dtype),
-            pltpu.VMEM((rb + 2, co, w, b), cat.dtype),
+            pltpu.VMEM((rb + 4, ccatp, wpb), cat.dtype),
+            pltpu.VMEM((rb + 2, co, wb), cat.dtype),
+            pltpu.VMEM((max(co, cup), wb), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_INTERPRET,
-    )(gates, kt_ic, bic.reshape(co, 1).astype(jnp.float32), kt_d,
+    )(gt, kt_ic, bic.reshape(co, 1).astype(jnp.float32), kt_d,
       bd if bd.ndim == 2 else bd.reshape(-1, 1).astype(jnp.float32),
       jnp.asarray(scale, jnp.float32).reshape(1, 1), kt_up,
       bup if bup.ndim == 2 else bup.reshape(-1, 1).astype(jnp.float32),
-      ksk, cat)
-    if not cd:
+      ksk, cat2)
+    if cd:
+        disp = disp.reshape(h, cd, w, b)
+    else:
         disp = None
-    if not emit_next:
+    if emit_next:
+        xc = xc.reshape(h, cup, w, b)
+        sk = sk.reshape(h, csk, w, b)
+    else:
         xc = sk = None
     return disp, xc, sk
 
@@ -551,7 +627,7 @@ def _up2_ref(x_t, h, w):
 def _assemble_cm_fallback(fm_t, kfm, xc_t, skip_t, disp_t, bias, cso, cu, cd):
     h, cf, w, b = fm_t.shape
     h2, w2 = xc_t.shape[0], xc_t.shape[2]
-    ccat = cso + cu + cd
+    ccat = _align8(cso + cu + cd)  # zeroed channel pad, like the kernel
     wp = _align8(w + 2)
     dt = fm_t.dtype
 
@@ -573,7 +649,9 @@ def _assemble_cm_fallback(fm_t, kfm, xc_t, skip_t, disp_t, bias, cso, cu, cd):
     parts = [z, xup]
     if cd:
         parts.append(_up2_ref(disp_t[1:h2 + 1, :, 1:w2 + 1], h, w).astype(dt))
-    body = jnp.concatenate(parts, axis=1)         # (H, Ccat, W, B)
+    if ccat > cso + cu + cd:
+        parts.append(jnp.zeros((h, ccat - cso - cu - cd, w, b), dt))
+    body = jnp.concatenate(parts, axis=1)         # (H, Ccatp, W, B)
 
     padded = jnp.concatenate(
         [body[:, :, 1:2], body, body[:, :, w - 2:w - 1],
@@ -602,10 +680,11 @@ def _conv3_ref(x_t, kt, bias):
 
 def _tail_cm_fallback(cat, gates, kt_ic, bic, kt_d, bd, disp_scale,
                       kt_up, bup, ksk, cso, co, cd, w):
-    hp, ccat, wp, b = cat.shape
+    hp, ccatp, wp, b = cat.shape
     h = hp - 4
     dt = cat.dtype
-    body = cat[2:h + 2, :, 1:w + 1]
+    ccat = kt_ic.shape[2] // 3   # drop the zeroed align8 channel pad
+    body = cat[2:h + 2, 0:ccat, 1:w + 1]
     body = jnp.concatenate(
         [body[:, 0:cso] * gates[None, :, None, :].astype(dt),
          body[:, cso:]], axis=1)
