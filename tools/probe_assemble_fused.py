@@ -214,10 +214,13 @@ def main():
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
 
-    se_fm = jnp.asarray(rng.normal(size=(B, h, w, cso)), dt)
-    skip_h = jnp.asarray(rng.normal(size=(B, h2, w2, cso)), dt)
-    xc = jnp.asarray(rng.normal(size=(B, h2, w2, 4 * cu)), dt)
-    disp_h = jnp.asarray(rng.normal(size=(B, h2, w2, cd)), dt)
+    # device-side data: multi-GB host->device transfers trip the axon
+    # tunnel's message limit (FAILED_PRECONDITION)
+    key = jax.random.PRNGKey(0)
+    se_fm = jax.random.normal(key, (B, h, w, cso), dt)
+    skip_h = jax.random.normal(key, (B, h2, w2, cso), dt)
+    xc = jax.random.normal(key, (B, h2, w2, 4 * cu), dt)
+    disp_h = jax.random.normal(key, (B, h2, w2, cd), dt)
     bias = jnp.zeros((cso,), jnp.float32)
 
     for v in variants:

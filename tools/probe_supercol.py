@@ -148,10 +148,12 @@ def main():
                     (rows + k - 1) * (w + 2 * p) * cp * B * 2 * 2
                     + rows * (w // G) * G * cout * B * 2 * 2) > 75e6:
                 rows //= 2
-            x = jnp.asarray(rng.normal(size=(h + k - 1, w + 2 * p, cp, B)),
-                            dt)
-            w3 = jnp.asarray(
-                rng.normal(size=(k, G * cout, (G + 2 * p) * cp)) * 0.05, dt)
+            # device-side data: multi-GB host->device transfers trip the
+            # axon tunnel's message limit (FAILED_PRECONDITION)
+            x = jax.random.normal(
+                jax.random.PRNGKey(0), (h + k - 1, w + 2 * p, cp, B), dt)
+            w3 = 0.05 * jax.random.normal(
+                jax.random.PRNGKey(1), (k, G * cout, (G + 2 * p) * cp), dt)
             try:
                 c, t = timeit(functools.partial(
                     run_case, G=G, co=cout, rows=rows, kh=k, p=p, variant=v),
