@@ -171,6 +171,14 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
     the graph output with one depth_to_space and runs the untransformed
     attention (the stage then returns a native tensor, so a following s2d
     stage pays its own input transform).
+
+    ``decoder_backend`` on-chip status (docs/PERFORMANCE.md):
+      "fused"  — production default; compiles and wins on the real chip.
+      "cmajor" — EXPERIMENTAL, FROZEN: stage-4 kernels compile but measure
+                 34.95 ms (no better than "fused"), and the stage-3 tail
+                 FAILS to compile on real TPU (Mosaic HTTP 500).  Kept for
+                 its interpret-mode-tested kernel algebra only; do not
+                 enable in production.
     """
     p, s = variables["params"], variables["batch_stats"]
 
@@ -361,30 +369,24 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
 # ---------------------------------------------------------------------------
 
 
-def _grouped_softmax(v, group):
-    """Softmax over channel groups of size ``group`` without the (...,
-    heads, ch) reshape — a 5-D head split relayouts the whole map (minor dim
-    4 pads 128 lanes 32x; measured ~3 ms/stage on the batch-128 trace).
-    Channel-window reduce_windows keep the native NHWC layout.
+def _grouped_softmax_unnorm(v, group):
+    """Grouped softmax split into ``(e, inv)`` with the normalization NOT
+    applied: ``softmax == e * repeat(inv, group)``.  Channel-window
+    reduce_windows instead of a 5-D head-split reshape (a head split
+    relayouts the whole map — minor dim 4 pads 128 lanes 32x; measured
+    ~3 ms/stage on the batch-128 trace).
+
+    Callers fold ``inv`` past the attended contraction (the context matrix
+    is block-diagonal by head, so every output channel of head g shares
+    divisor s[..., g]) — the normalized query map is never materialised:
+    round-3 traces put the separate ``e * inv`` pass at ~1.3 ms at enc0/1
+    shapes.
 
     On the bf16 serving path the window reductions stay in bf16: the max is
     EXACT in any dtype, and a ``group``-element (4-8 values) bf16 sum's
     rounding (~2^-9 relative per add) sits far below the path's own bf16
     quantization of v; only the reciprocal is computed in f32.  The f32
     parity path keeps full f32 reductions."""
-    if v.dtype == jnp.float32:
-        neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
-        m = lax.reduce_window(
-            v, neg_inf, lax.max,
-            (1, 1, 1, group), (1, 1, 1, group), "VALID",
-        )
-        e = jnp.exp(v - jnp.repeat(m, group, axis=-1))
-        s = lax.reduce_window(
-            e, jnp.asarray(0.0, jnp.float32), lax.add,
-            (1, 1, 1, group), (1, 1, 1, group), "VALID",
-        )
-        inv = 1.0 / s
-        return e * jnp.repeat(inv, group, axis=-1)
     neg_inf = jnp.asarray(-jnp.inf, v.dtype)
     m = lax.reduce_window(
         v, neg_inf, lax.max, (1, 1, 1, group), (1, 1, 1, group), "VALID",
@@ -394,8 +396,9 @@ def _grouped_softmax(v, group):
         e, jnp.asarray(0.0, v.dtype), lax.add,
         (1, 1, 1, group), (1, 1, 1, group), "VALID",
     )
-    inv = (1.0 / s.astype(jnp.float32)).astype(v.dtype)
-    return e * jnp.repeat(inv, group, axis=-1)
+    if v.dtype == jnp.float32:
+        return e, 1.0 / s
+    return e, (1.0 / s.astype(jnp.float32)).astype(v.dtype)
 
 
 def _attention_apply(prm, heads, x):
@@ -407,23 +410,41 @@ def _attention_apply(prm, heads, x):
     FLOPs are trivial (the context matmuls are tiny next to the convs) and
     the activation map never leaves its conv layout.  Identical math: the
     mask zeroes exactly the cross-head context terms.
+
+    Both softmax normalizations are folded PAST their contractions (same
+    values, reassociated): the keys normalizer 1/s is per (batch, k), so it
+    scales the tiny context matrix instead of the full key map; the queries
+    normalizer is per (batch, pixel, head) — the context is block-diagonal
+    by head, so every attended channel of head g shares it and it rides the
+    attended map's einsum epilogue.  Neither normalized map is
+    materialised (the separate e*inv passes cost ~1.3 ms/stage at enc0/1
+    batch-128 shapes, round-4 budget).
     """
     b, h, w, c = x.shape
 
     def proj(name):
         return _conv1x1(x, prm[name]["kernel"], prm[name]["bias"])
 
-    keys = _softmax(proj("keys"), (1, 2))      # per-channel over tokens
-    queries = _grouped_softmax(proj("queries"), c // heads)
+    # keys softmax over tokens (reference attention.py softmax over (2,3)):
+    # max in input dtype (exact), token sum in f32 (same policy as
+    # _softmax), normalizer deferred to the contracted context
+    kp = proj("keys")
+    km = jnp.max(kp, axis=(1, 2), keepdims=True)
+    ke = jnp.exp(kp - km)
+    ks = jnp.sum(ke, axis=(1, 2), dtype=jnp.float32)           # (B, C)
+
+    qe, qinv = _grouped_softmax_unnorm(proj("queries"), c // heads)
     values = proj("values")
 
-    context = jnp.einsum("bxyk,bxyv->bkv", keys, values)
+    context = jnp.einsum("bxyk,bxyv->bkv", ke, values)
+    context = context * (1.0 / ks)[..., None].astype(context.dtype)
     block = c // heads
     mask = jnp.asarray(
         (jnp.arange(c)[:, None] // block) == (jnp.arange(c)[None, :] // block),
         context.dtype,
     )
-    attended = jnp.einsum("bkv,bxyk->bxyv", context * mask, queries)
+    attended = jnp.einsum("bkv,bxyk->bxyv", context * mask, qe)
+    attended = attended * jnp.repeat(qinv, block, axis=-1)
 
     out = _conv1x1(attended, prm["reprojection"]["kernel"],
                    prm["reprojection"]["bias"])
@@ -462,7 +483,11 @@ def _attention_s2d(prm, heads, c, x):
         return _conv1x1(x, prm[name]["kernel"], prm[name]["bias"])
 
     keys = _softmax_tokens_s2d(proj("keys"), c)
-    queries = _grouped_softmax(proj("queries"), c // heads)
+    # the (phase, head) block structure of ``big`` matches the channel
+    # groups exactly (output s2d channel u = p*c+v is in group
+    # u // (c//heads) = p*heads + head(v)), so the queries normalizer
+    # folds past the attended contraction just as in _attention_apply
+    qe, qinv = _grouped_softmax_unnorm(proj("queries"), c // heads)
     values = proj("values")
 
     full = jnp.einsum("bxyu,bxyw->buw", keys, values)          # (B, 4C, 4C)
@@ -476,7 +501,8 @@ def _attention_s2d(prm, heads, c, x):
     )
     big = jnp.einsum("pq,bkv->bpkqv", jnp.eye(4, dtype=context.dtype),
                      context * mask).reshape(b, 4 * c, 4 * c)
-    attended = jnp.einsum("buw,bxyu->bxyw", big, queries)
+    attended = jnp.einsum("buw,bxyu->bxyw", big, qe)
+    attended = attended * jnp.repeat(qinv, c // heads, axis=-1)
 
     out = _conv1x1(attended, prm["reprojection"]["kernel"],
                    prm["reprojection"]["bias"])
