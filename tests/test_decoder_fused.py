@@ -73,6 +73,80 @@ class TestAssembleZ:
                                    np.asarray(z), rtol=1e-4, atol=1e-5)
 
 
+class TestAssembleGated:
+    """The squeeze-first pipeline kernels: gated assemble + se_squeeze,
+    with and without the in-kernel fm fold (k_fm)."""
+
+    def test_matches_fallback(self):
+        se_fm, skip_h, xc, disp, gates, bias = _inputs(4)
+        df._INTERPRET = False
+        ref = df.assemble(se_fm, skip_h, gates, xc, disp, bias)
+        df._INTERPRET = True
+        cat = df.assemble(se_fm, skip_h, gates, xc, disp, bias)
+        np.testing.assert_allclose(np.asarray(cat), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_matches_assemble_z_plus_gate(self):
+        """assemble(gates) == gate_z(assemble_z(...)) — same channel order,
+        same values (the two serving pipelines must be interchangeable)."""
+        se_fm, skip_h, xc, disp, gates, bias = _inputs(5)
+        cat_a = df.assemble(se_fm, skip_h, gates, xc, disp, bias)
+        cat_z, mean = df.assemble_z(se_fm, skip_h, xc, disp, bias)
+        cat_b = df.gate_z(cat_z, gates, se_fm.shape[-1])
+        np.testing.assert_allclose(np.asarray(cat_a), np.asarray(cat_b),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_fm_fold(self):
+        _, skip_h, xc, disp, gates, bias = _inputs(6)
+        rng = np.random.default_rng(60)
+        b, h2, w2, cso = skip_h.shape
+        fm = jnp.asarray(rng.normal(size=(b, 2 * h2, 2 * w2, 3)), jnp.float32)
+        k_fm = jnp.asarray(rng.normal(size=(3, cso)), jnp.float32)
+        se_fm = jnp.einsum("bhwc,co->bhwo", fm, k_fm)
+        ref = df.assemble(se_fm, skip_h, gates, xc, disp, bias)
+        cat = df.assemble(fm, skip_h, gates, xc, disp, bias, k_fm=k_fm)
+        np.testing.assert_allclose(np.asarray(cat), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        ref_z, _ = df.assemble_z(se_fm, skip_h, xc, disp, bias)
+        cat_z, _ = df.assemble_z(fm, skip_h, xc, disp, bias, k_fm=k_fm)
+        np.testing.assert_allclose(np.asarray(cat_z), np.asarray(ref_z),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_se_squeeze(self):
+        se_fm, skip_h, xc, disp, gates, bias = _inputs(7)
+        df._INTERPRET = False
+        ref = df.se_squeeze(se_fm, skip_h, bias)
+        df._INTERPRET = True
+        mean = df.se_squeeze(se_fm, skip_h, bias)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        # squeeze == assemble_z's mean output
+        _, mean_z = df.assemble_z(se_fm, skip_h, xc, disp, bias)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_z),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_se_squeeze_fm_fold(self):
+        _, skip_h, _, _, _, bias = _inputs(8)
+        rng = np.random.default_rng(80)
+        b, h2, w2, cso = skip_h.shape
+        fm = jnp.asarray(rng.normal(size=(b, 2 * h2, 2 * w2, 3)), jnp.float32)
+        k_fm = jnp.asarray(rng.normal(size=(3, cso)), jnp.float32)
+        se_fm = jnp.einsum("bhwc,co->bhwo", fm, k_fm)
+        ref = df.se_squeeze(se_fm, skip_h, bias)
+        mean = df.se_squeeze(fm, skip_h, bias, k_fm=k_fm)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_no_disp(self):
+        se_fm, skip_h, xc, _, gates, bias = _inputs(9)
+        df._INTERPRET = False
+        ref = df.assemble(se_fm, skip_h, gates, xc, None, bias)
+        df._INTERPRET = True
+        cat = df.assemble(se_fm, skip_h, gates, xc, None, bias)
+        np.testing.assert_allclose(np.asarray(cat), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestGateZ:
     def test_scales_z_and_preserves_rest(self):
         rng = np.random.default_rng(3)

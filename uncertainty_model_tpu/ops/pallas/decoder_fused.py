@@ -121,6 +121,20 @@ def _up2_block(buf, fe, fo, few, fow, rh, n):
     return jnp.stack([ec, oc], axis=2).reshape(2 * rh, 2 * n, c, b)
 
 
+def _fm_fold(fm_rows, kfm_ref, cso):
+    """In-kernel SE 1x1 conv over a tiny channel count: (2, wb, cf, B)
+    feature-map rows -> (2, wb, cso, B) f32.  cf is small (the decoder's
+    full-res stage sees the 3-channel input image, reference
+    model/decoder.py:49-57), so the contraction is cf broadcast-FMAs on the
+    VPU and the full-res ``se_fm`` tensor never exists in HBM
+    (docs/PERFORMANCE.md round-4 budget, finding 4)."""
+    f = fm_rows.astype(jnp.float32)
+    acc = f[:, :, 0:1, :] * kfm_ref[0].reshape(1, 1, cso, 1)
+    for ci in range(1, fm_rows.shape[2]):
+        acc = acc + f[:, :, ci:ci + 1, :] * kfm_ref[ci].reshape(1, 1, cso, 1)
+    return acc
+
+
 def _to_hwcb(x):
     """(B, H, W, C) -> (H, W, C, B).  XLA stores these activations
     batch-minor ({0,3,2,1}), so this transpose is a layout bitcast."""
@@ -171,9 +185,9 @@ def _pick_blocks(h2, w, per_cell_bytes, budget=_BLOCK_BUDGET):
 # (mean -> SE MLP, a few tiny XLA matmuls) are known.
 
 
-def _assemble_z_kernel(se_ref, xc_ref, b_ref, skip_any, disp_any,
+def _assemble_z_kernel(se_ref, kfm_ref, xc_ref, b_ref, skip_any, disp_any,
                        out_ref, sum_ref, sbuf, dbuf, sem, *, rh, wbc,
-                       sh, sw, cu, cso, cd):
+                       sh, sw, cu, cso, cd, cf):
     i = pl.program_id(0)
     wb_ = pl.program_id(1)
     c0 = wb_ * wbc
@@ -211,7 +225,11 @@ def _assemble_z_kernel(se_ref, xc_ref, b_ref, skip_any, disp_any,
     for r in range(rh):
         up = _up2_block(sbuf[r:r + 3], fe[r:r + 1], fo[r:r + 1],
                         few, fow, 1, wbc)
-        se = se_ref[2 * r:2 * r + 2] + up + bias
+        if cf:
+            se = (_fm_fold(se_ref[2 * r:2 * r + 2], kfm_ref, cso)
+                  + up.astype(jnp.float32) + b_ref[...])
+        else:
+            se = se_ref[2 * r:2 * r + 2] + up + bias
         z = _elu(se)
         acc = acc + z.sum(axis=(0, 1))
         out_ref[2 * r:2 * r + 2, :, 0:cso, :] = z.astype(dt)
@@ -226,14 +244,18 @@ def _assemble_z_kernel(se_ref, xc_ref, b_ref, skip_any, disp_any,
 
 
 @jax.jit
-def _assemble_z_pallas(se_fm, skip_h, xc, disp_h, bias):
-    b, h, w, cso = se_fm.shape
+def _assemble_z_pallas(se_fm, skip_h, xc, disp_h, bias, kfm):
+    b, h, w = se_fm.shape[:3]
+    cso = skip_h.shape[3]
+    cf = se_fm.shape[3] if kfm is not None else 0
     h2, w2 = skip_h.shape[1], skip_h.shape[2]
     cu = xc.shape[3] // 4
     cd = disp_h.shape[3] if disp_h is not None else 0
     ccat = cu + cso + cd
 
     se_t = _to_hwcb(se_fm)
+    kfm_in = (kfm.astype(jnp.float32)[:, :, None] if kfm is not None
+              else jnp.zeros((1, cso, 1), jnp.float32))
     skip_t = _to_hwcb(_pad_half(skip_h))
     xc_t = _to_hwcb(xc)
     disp_t = (_to_hwcb(_pad_half(disp_h)) if disp_h is not None
@@ -253,10 +275,12 @@ def _assemble_z_pallas(se_fm, skip_h, xc, disp_h, bias):
 
     cat_t, sums = pl.pallas_call(
         functools.partial(_assemble_z_kernel, rh=rh, wbc=wbc, sh=sh, sw=sw,
-                          cu=cu, cso=cso, cd=cd),
+                          cu=cu, cso=cso, cd=cd, cf=cf),
         grid=(h2 // rh, w // wb),
         in_specs=[
-            pl.BlockSpec((2 * rh, wb, cso, b), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((2 * rh, wb, cf or cso, b), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(kfm_in.shape, lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rh, wbc, 4 * cu, b), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -282,11 +306,18 @@ def _assemble_z_pallas(se_fm, skip_h, xc, disp_h, bias):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_INTERPRET,
-    )(se_t, xc_t, bias.reshape(cso, 1).astype(jnp.float32), skip_t, disp_t)
+    )(se_t, kfm_in, xc_t, bias.reshape(cso, 1).astype(jnp.float32),
+      skip_t, disp_t)
     return _from_hwcb(cat_t), sums.T / jnp.float32(h * w)
 
 
-def assemble_z(se_fm, skip_h, xc, disp_h, bias):
+def _fold_fallback(fm, k_fm, dtype):
+    """Fallback for the in-kernel fm fold: a plain f32 1x1 matmul."""
+    return jnp.einsum("bhwc,co->bhwo", fm.astype(jnp.float32),
+                      k_fm.astype(jnp.float32)).astype(dtype)
+
+
+def assemble_z(se_fm, skip_h, xc, disp_h, bias, k_fm=None):
     """One fused pass producing the decoder stage's concat tensor with the
     skip half UNGATED, plus the SE squeeze:
 
@@ -297,18 +328,25 @@ def assemble_z(se_fm, skip_h, xc, disp_h, bias):
 
     Apply ``gate_z(cat, gates, cso)`` once the SE MLP has turned ``mean``
     into gates.  ``disp_h`` may be None (concat_disp=False stages).
+
+    With ``k_fm`` (cf, Cso), the first operand is the RAW stage feature map
+    (B, H, W, cf) and ``se_fm = fm @ k_fm`` is computed in-kernel (f32) —
+    for the decoder's full-res stage, whose feature map is the 3-channel
+    input image, this keeps the 1 GB ``se_fm`` tensor out of HBM entirely.
     """
     if not _use_kernel():
         from ..resize import resize_bilinear
+        if k_fm is not None:
+            se_fm = _fold_fallback(se_fm, k_fm, jnp.float32)
         h, w = se_fm.shape[1], se_fm.shape[2]
-        se = se_fm + resize_bilinear(skip_h, (h, w)) + bias
-        z = jax.nn.elu(se)
+        se = se_fm + resize_bilinear(skip_h, (h, w)).astype(se_fm.dtype) + bias
+        z = jax.nn.elu(se).astype(skip_h.dtype)
         parts = [z, _shuffle_phase_major(jax.nn.elu(xc))]
         if disp_h is not None:
             parts.append(resize_bilinear(disp_h, (h, w)))
         return (jnp.concatenate(parts, axis=-1),
                 jnp.mean(z, axis=(1, 2), dtype=jnp.float32))
-    return _assemble_z_pallas(se_fm, skip_h, xc, disp_h, bias)
+    return _assemble_z_pallas(se_fm, skip_h, xc, disp_h, bias, k_fm)
 
 
 def _gate_kernel(g_ref, cat_ref, out_ref):
@@ -366,8 +404,8 @@ def gate_z(cat, gates, cso):
 # ---------------------------------------------------------------------------
 
 
-def _squeeze_kernel(se_ref, b_ref, skip_any, out_ref, sbuf, sem, *,
-                    rh, wbc, sh, sw):
+def _squeeze_kernel(se_ref, kfm_ref, b_ref, skip_any, out_ref, sbuf, sem, *,
+                    rh, wbc, sh, sw, cf):
     i = pl.program_id(0)
     wa = pl.program_id(1)
     c0 = wa * wbc
@@ -387,23 +425,32 @@ def _squeeze_kernel(se_ref, b_ref, skip_any, out_ref, sbuf, sem, *,
 
     cp.wait()
     acc = jnp.zeros(out_ref.shape, out_ref.dtype)
+    cso = out_ref.shape[0]
     # row pairs, one at a time: bounds the f32 ELU temporaries while the
     # DMA/block granularity stays large
     for r in range(rh):
         up = _up2_block(sbuf[r:r + 3], fe[r:r + 1], fo[r:r + 1],
                         few, fow, 1, wbc)
-        se = se_ref[2 * r:2 * r + 2] + up + bias
+        if cf:
+            se = (_fm_fold(se_ref[2 * r:2 * r + 2], kfm_ref, cso)
+                  + up.astype(jnp.float32) + b_ref[...])
+        else:
+            se = se_ref[2 * r:2 * r + 2] + up + bias
         acc = acc + _elu(se).sum(axis=(0, 1))
     out_ref[...] += acc
 
 
 @jax.jit
-def _se_squeeze_pallas(se_fm, skip_h, bias):
-    b, h, w, c = se_fm.shape
+def _se_squeeze_pallas(se_fm, skip_h, bias, kfm):
+    b, h, w = se_fm.shape[:3]
+    c = skip_h.shape[3]
+    cf = se_fm.shape[3] if kfm is not None else 0
     h2, w2 = skip_h.shape[1], skip_h.shape[2]
 
     se_t = _to_hwcb(se_fm)
     skip_t = _to_hwcb(_pad_half(skip_h))
+    kfm_in = (kfm.astype(jnp.float32)[:, :, None] if kfm is not None
+              else jnp.zeros((1, c, 1), jnp.float32))
 
     # host-side f32 scale constants, same rounding as _lerp_coeffs
     sh = np.float32(h2 - 1) / np.float32(h - 1)
@@ -418,10 +465,13 @@ def _se_squeeze_pallas(se_fm, skip_h, bias):
     wbc = wb // 2
 
     sums = pl.pallas_call(
-        functools.partial(_squeeze_kernel, rh=rh, wbc=wbc, sh=sh, sw=sw),
+        functools.partial(_squeeze_kernel, rh=rh, wbc=wbc, sh=sh, sw=sw,
+                          cf=cf),
         grid=(h2 // rh, w // wb),
         in_specs=[
-            pl.BlockSpec((2 * rh, wb, c, b), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((2 * rh, wb, cf or c, b), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(kfm_in.shape, lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -436,23 +486,29 @@ def _se_squeeze_pallas(se_fm, skip_h, bias):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_INTERPRET,
-    )(se_t, bias.reshape(c, 1).astype(jnp.float32), skip_t)
+    )(se_t, kfm_in, bias.reshape(c, 1).astype(jnp.float32), skip_t)
     return sums.T / jnp.float32(h * w)
 
 
-def se_squeeze(se_fm, skip_h, bias):
+def se_squeeze(se_fm, skip_h, bias, k_fm=None):
     """(B, C) f32 mean over pixels of ``elu(se_fm + up2(skip_h) + bias)``.
 
     ``se_fm``: (B, H, W, C) — the feature-map half of the SE conv output;
     ``skip_h``: (B, H/2, W/2, C) — the skip half, pre-upsample.  The full-res
-    ``se`` tensor is never written to HBM.
+    ``se`` tensor is never written to HBM.  With ``k_fm`` (cf, C) the first
+    operand is the raw stage feature map and the SE conv's feature-map half
+    is folded in-kernel (see ``assemble_z``) — the squeeze then reads only
+    cf + C/4 channels' worth of HBM, which is what makes the squeeze-first
+    pipeline cheaper than a ``gate_z`` rewrite pass.
     """
     if not _use_kernel():
         from ..resize import resize_bilinear
+        if k_fm is not None:
+            se_fm = _fold_fallback(se_fm, k_fm, jnp.float32)
         h, w = se_fm.shape[1], se_fm.shape[2]
-        se = se_fm + resize_bilinear(skip_h, (h, w)) + bias
+        se = se_fm + resize_bilinear(skip_h, (h, w)).astype(se_fm.dtype) + bias
         return jnp.mean(jax.nn.elu(se), axis=(1, 2), dtype=jnp.float32)
-    return _se_squeeze_pallas(se_fm, skip_h, bias)
+    return _se_squeeze_pallas(se_fm, skip_h, bias, k_fm)
 
 
 # ---------------------------------------------------------------------------
@@ -460,9 +516,9 @@ def se_squeeze(se_fm, skip_h, bias):
 # ---------------------------------------------------------------------------
 
 
-def _assemble_kernel(se_ref, xc_ref, g_ref, b_ref, skip_any, disp_any,
-                     out_ref, sbuf, dbuf, sem, *, rh, wbc, sh, sw,
-                     cu, cso, cd):
+def _assemble_kernel(se_ref, kfm_ref, xc_ref, g_ref, b_ref, skip_any,
+                     disp_any, out_ref, sbuf, dbuf, sem, *, rh, wbc, sh, sw,
+                     cu, cso, cd, cf):
     i = pl.program_id(0)
     wb_ = pl.program_id(1)
     c0 = wb_ * wbc
@@ -486,40 +542,50 @@ def _assemble_kernel(se_ref, xc_ref, g_ref, b_ref, skip_any, disp_any,
     # upsample path: pixel shuffle of elu(xc).  xc's output channels were
     # permuted phase-major at build time, so each (row-parity, col-parity)
     # plane is a contiguous channel slice — the shuffle is two slices and a
-    # column interleave, no gather.
+    # column interleave, no gather.  Channel order matches assemble_z
+    # ([z | xup | disp]) so the two pipelines share one build-time iconv
+    # input permutation.
     b = out_ref.shape[3]
     for r in range(rh):
         planes = [_elu(xc_ref[r, :, p * cu:(p + 1) * cu, :]).astype(dt)
                   for p in range(4)]
         rows = [jnp.stack([planes[2 * a], planes[2 * a + 1]],
                           axis=1).reshape(2 * wbc, cu, b) for a in (0, 1)]
-        out_ref[2 * r:2 * r + 2, :, 0:cu, :] = jnp.stack(rows, axis=0)
+        out_ref[2 * r:2 * r + 2, :, cso:cso + cu, :] = jnp.stack(rows, axis=0)
 
     cp_s.wait()
     for r in range(rh):
         up = _up2_block(sbuf[r:r + 3], fe[r:r + 1], fo[r:r + 1],
                         few, fow, 1, wbc)
-        se = se_ref[2 * r:2 * r + 2, :, 0:cso, :] + up + bias
+        if cf:
+            se = (_fm_fold(se_ref[2 * r:2 * r + 2], kfm_ref, cso)
+                  + up.astype(jnp.float32) + b_ref[...])
+        else:
+            se = se_ref[2 * r:2 * r + 2, :, 0:cso, :] + up + bias
         z = _elu(se).astype(dt)
-        out_ref[2 * r:2 * r + 2, :, cu:cu + cso, :] = z * g
+        out_ref[2 * r:2 * r + 2, :, 0:cso, :] = z * g
 
     if cd:
         cp_d.wait()
         for r in range(rh):
             up = _up2_block(dbuf[r:r + 3], fe[r:r + 1], fo[r:r + 1],
                             few, fow, 1, wbc)
-            out_ref[2 * r:2 * r + 2, :, cu + cso:cu + cso + cd, :] = up
+            out_ref[2 * r:2 * r + 2, :, cso + cu:cso + cu + cd, :] = up
 
 
 @jax.jit
-def _assemble_pallas(se_fm, skip_h, gates, xc, disp_h, bias):
-    b, h, w, cso = se_fm.shape
+def _assemble_pallas(se_fm, skip_h, gates, xc, disp_h, bias, kfm):
+    b, h, w = se_fm.shape[:3]
+    cso = skip_h.shape[3]
+    cf = se_fm.shape[3] if kfm is not None else 0
     h2, w2 = skip_h.shape[1], skip_h.shape[2]
     cu = xc.shape[3] // 4
     cd = disp_h.shape[3] if disp_h is not None else 0
     ccat = cu + cso + cd
 
     se_t = _to_hwcb(se_fm)
+    kfm_in = (kfm.astype(jnp.float32)[:, :, None] if kfm is not None
+              else jnp.zeros((1, cso, 1), jnp.float32))
     skip_t = _to_hwcb(_pad_half(skip_h))
     xc_t = _to_hwcb(xc)
     disp_t = (_to_hwcb(_pad_half(disp_h)) if disp_h is not None
@@ -541,10 +607,12 @@ def _assemble_pallas(se_fm, skip_h, gates, xc, disp_h, bias):
 
     out = pl.pallas_call(
         functools.partial(_assemble_kernel, rh=rh, wbc=wbc, sh=sh, sw=sw,
-                          cu=cu, cso=cso, cd=cd),
+                          cu=cu, cso=cso, cd=cd, cf=cf),
         grid=(h2 // rh, w // wb),
         in_specs=[
-            pl.BlockSpec((2 * rh, wb, cso, b), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((2 * rh, wb, cf or cso, b), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(kfm_in.shape, lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rh, wbc, 4 * cu, b), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -566,7 +634,7 @@ def _assemble_pallas(se_fm, skip_h, gates, xc, disp_h, bias):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_INTERPRET,
-    )(se_t, xc_t, gates.T.astype(se_fm.dtype),
+    )(se_t, kfm_in, xc_t, gates.T.astype(skip_h.dtype),
       bias.reshape(cso, 1).astype(jnp.float32), skip_t, disp_t)
     return _from_hwcb(out)
 
@@ -580,25 +648,32 @@ def _shuffle_phase_major(xc):
     return x.reshape(b, 2 * h2, 2 * w2, cu)
 
 
-def assemble(se_fm, skip_h, gates, xc, disp_h, bias):
-    """The decoder stage's concat tensor, fused:
+def assemble(se_fm, skip_h, gates, xc, disp_h, bias, k_fm=None):
+    """The decoder stage's concat tensor, fused and GATED (the squeeze-first
+    pipeline: ``se_squeeze`` -> SE MLP -> this kernel; no ``gate_z`` pass):
 
-        concat([pixel_shuffle(elu(xc)),
-                elu(se_fm + up2(skip_h) + bias) * gates,
+        concat([elu(se_fm + up2(skip_h) + bias) * gates,   # z, gated
+                pixel_shuffle(elu(xc)),                    # phase-major xc
                 up2(disp_h)], channels)
 
-    ``xc`` carries PHASE-MAJOR output channels (build-time kernel output
-    permutation, serving.py) so the in-kernel shuffle is slice+interleave.
-    ``disp_h`` may be None (decoder stages with concat_disp=False).
-    Returns (B, H, W, Cu+Cso[+4]).
+    Channel order matches ``assemble_z`` ([z | xup | disp]), so both
+    pipelines share the build-time iconv input permutation and the
+    cat-as-next-skip handle (z sits first).  ``xc`` carries PHASE-MAJOR
+    output channels (build-time kernel output permutation, serving.py) so
+    the in-kernel shuffle is slice+interleave.  ``disp_h`` may be None
+    (decoder stages with concat_disp=False).  ``k_fm``: see ``assemble_z``.
+    Returns (B, H, W, Cso+Cu[+4]).
     """
     if not _use_kernel():
         from ..resize import resize_bilinear
+        if k_fm is not None:
+            se_fm = _fold_fallback(se_fm, k_fm, jnp.float32)
         h, w = se_fm.shape[1], se_fm.shape[2]
-        se = se_fm + resize_bilinear(skip_h, (h, w)) + bias
-        z = jax.nn.elu(se) * gates[:, None, None, :].astype(se_fm.dtype)
-        parts = [_shuffle_phase_major(jax.nn.elu(xc)), z]
+        se = se_fm + resize_bilinear(skip_h, (h, w)).astype(se_fm.dtype) + bias
+        z = (jax.nn.elu(se).astype(skip_h.dtype)
+             * gates[:, None, None, :].astype(skip_h.dtype))
+        parts = [z, _shuffle_phase_major(jax.nn.elu(xc))]
         if disp_h is not None:
             parts.append(resize_bilinear(disp_h, (h, w)))
         return jnp.concatenate(parts, axis=-1)
-    return _assemble_pallas(se_fm, skip_h, gates, xc, disp_h, bias)
+    return _assemble_pallas(se_fm, skip_h, gates, xc, disp_h, bias, k_fm)

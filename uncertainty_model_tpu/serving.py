@@ -28,6 +28,7 @@ PyTorch reference.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, NamedTuple, Optional
 
@@ -51,7 +52,7 @@ from .ops.s2d import (
     s2d_in_stride2_conv_kernel,
     s2d_out_stride2_conv_kernel,
 )
-from .ops.pallas.decoder_fused import assemble_z, gate_z
+from .ops.pallas.decoder_fused import assemble, assemble_z, gate_z, se_squeeze
 from .ops.pallas.decoder_cmajor import _align8, assemble_cm, tail_cm
 
 _DN = ("NHWC", "HWIO", "NHWC")
@@ -676,17 +677,44 @@ def _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip, disparity,
     Returns ``(out, cat, disp)``: ``cat`` doubles as this stage's skip
     handle for a fused successor.  Values identical to
     ``_decoder_stage_apply`` (tests/test_serving.py).
+
+    Two pipelines (UMT_DEC_PIPELINE, default "squeeze_first"):
+      squeeze_first  se_squeeze -> SE MLP -> gated assemble: the cat tensor
+                     is written ONCE, already gated (no gate_z rewrite of
+                     the z block).  The squeeze recomputes the lerp+ELU
+                     chain, but reads only the quarter-res skip (+ the tiny
+                     fm when folded) — cheaper than gate_z's full-res z
+                     read+write (round-4 budget).
+      gate_z         assemble_z (ungated, + SE sums) -> SE MLP -> gate_z
+                     in-place rewrite (the round-3 pipeline).
+    Where the stage feature map has <= 8 channels (the full-res stage sees
+    the 3-channel input image), the SE conv's fm half is folded into the
+    kernels (k_fm) and the 1 GB se_fm tensor never exists in HBM.
     """
     cso = cfg["skip_out_channels"]
     skip_feat_h = _conv1x1(skip, prm["se_skip"]["kernel"])
-    se_fm = _conv1x1(feature_map, prm["se_fm"]["kernel"])
+    kfm = prm["se_fm"]["kernel"]  # (1, 1, cf, cso)
+    fold = kfm.shape[2] <= 8
     xc = _rconv(x, prm["upsample_conv"]["kernel"],
                 prm["upsample_conv"]["bias"])
 
     dh = disparity if cfg.get("concat_disp", True) else None
-    cat, mean = assemble_z(se_fm, skip_feat_h, xc, dh, prm["se_bias"])
-    gates = _se_gates(prm["se"], mean, se_fm.dtype)
-    cat = gate_z(cat, gates, cso)
+    squeeze_first = os.environ.get(
+        "UMT_DEC_PIPELINE", "squeeze_first") == "squeeze_first"
+    if fold:
+        se_in, k2 = feature_map, kfm[0, 0]
+    else:
+        se_in, k2 = _conv1x1(feature_map, kfm), None
+    if squeeze_first:
+        mean = se_squeeze(se_in, skip_feat_h, prm["se_bias"], k_fm=k2)
+        gates = _se_gates(prm["se"], mean, skip_feat_h.dtype)
+        cat = assemble(se_in, skip_feat_h, gates, xc, dh, prm["se_bias"],
+                       k_fm=k2)
+    else:
+        cat, mean = assemble_z(se_in, skip_feat_h, xc, dh, prm["se_bias"],
+                               k_fm=k2)
+        gates = _se_gates(prm["se"], mean, skip_feat_h.dtype)
+        cat = gate_z(cat, gates, cso)
 
     out = jax.nn.elu(_rconv(cat, prm["iconv"]["kernel"],
                             prm["iconv"]["bias"]))
