@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Microbenchmark the encoder gated input sum at enc0/enc1 production
+shapes: the XLA mul-add chain (what serving emits today) vs the Pallas
+one-pass kernel (ops/pallas/gated_sum.py), and the grouped-softmax
+reduce_window vs strided-slice formulations (budget findings 5/6).
+
+Chained-K methodology (perturb input with previous output so XLA cannot
+CSE the passes); reports ms/pass = slope between K and 2K loops.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_default_matmul_precision", "bfloat16")
+
+from uncertainty_model_tpu.ops.pallas.gated_sum import gated_sum
+
+
+def timed(make, k1=8, k2=16):
+    f1, f2 = jax.jit(make(k1)), jax.jit(make(k2))
+    a = jnp.zeros((), jnp.bfloat16)
+    for f in (f1, f2):
+        jax.block_until_ready(f(a))
+    ts = []
+    for f, k in ((f1, k1), (f2, k2)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(a))
+        ts.append(time.perf_counter() - t0)
+    return (ts[1] - ts[0]) / (k2 - k1) * 1e3
+
+
+def main():
+    b = int(os.environ.get("B", "128"))
+    key = jax.random.PRNGKey(0)
+    for name, (h, w, c, k) in (
+        ("enc0-k3", (128, 256, 32, 3)),
+        ("enc0-k4", (128, 256, 32, 4)),
+        ("enc1-k3", (64, 128, 64, 3)),
+    ):
+        xs = [jax.random.normal(jax.random.fold_in(key, i), (b, h, w, c),
+                                jnp.bfloat16) for i in range(k)]
+        g = jnp.linspace(0.3, 0.9, k, dtype=jnp.float32)
+
+        def make_xla(kk):
+            def run(eps):
+                y = [x + eps for x in xs]
+                def body(i, y0):
+                    acc = y[0] * g[0].astype(y[0].dtype) + y0 * 0
+                    for j in range(1, k):
+                        acc = acc + y[j] * g[j].astype(y[j].dtype)
+                    return acc
+                out = lax.fori_loop(0, kk, body, xs[0])
+                return out[0, 0, 0, 0]
+            return run
+
+        def make_pl(kk):
+            def run(eps):
+                def body(i, y0):
+                    return gated_sum(g, [xs[0] + y0 * 0 + eps] + xs[1:])
+                out = lax.fori_loop(0, kk, body, xs[0])
+                return out[0, 0, 0, 0]
+            return run
+
+        print(f"{name}: xla {timed(make_xla):7.3f} ms   "
+              f"pallas {timed(make_pl):7.3f} ms", flush=True)
+
+    # grouped softmax formulations at enc0/enc1 shapes (group = c/heads)
+    import functools as ft
+    for name, (h, w, c, heads) in (
+        ("smax-enc0", (128, 256, 32, 8)),
+        ("smax-enc1", (64, 128, 64, 8)),
+    ):
+        v0 = jax.random.normal(key, (b, h, w, c), jnp.bfloat16)
+        group = c // heads
+
+        def rw(v):
+            neg_inf = jnp.asarray(-jnp.inf, v.dtype)
+            m = lax.reduce_window(v, neg_inf, lax.max,
+                                  (1, 1, 1, group), (1, 1, 1, group), "VALID")
+            e = jnp.exp(v - jnp.repeat(m, group, axis=-1))
+            s = lax.reduce_window(e, jnp.asarray(0.0, v.dtype), lax.add,
+                                  (1, 1, 1, group), (1, 1, 1, group), "VALID")
+            return e, 1.0 / s.astype(jnp.float32)
+
+        def sl(v):
+            m = ft.reduce(jnp.maximum, [v[..., g0::group]
+                                        for g0 in range(group)])
+            e = jnp.exp(v - jnp.repeat(m, group, axis=-1))
+            s = ft.reduce(jnp.add, [e[..., g0::group] for g0 in range(group)])
+            return e, 1.0 / s.astype(jnp.float32)
+
+        def mk(fn):
+            def make(kk):
+                def run(eps):
+                    def body(i, y0):
+                        e, inv = fn(v0 + y0 * 0 + eps)
+                        return e * jnp.repeat(inv.astype(e.dtype), group,
+                                              axis=-1)
+                    out = lax.fori_loop(0, kk, body, v0)
+                    return out[0, 0, 0, 0]
+                return run
+            return make
+
+        print(f"{name}: reduce_window {timed(mk(rw)):7.3f} ms   "
+              f"strided-slice {timed(mk(sl)):7.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

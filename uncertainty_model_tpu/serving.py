@@ -53,6 +53,7 @@ from .ops.s2d import (
     s2d_out_stride2_conv_kernel,
 )
 from .ops.pallas.decoder_fused import assemble, assemble_z, gate_z, se_squeeze
+from .ops.pallas.gated_sum import gated_sum
 from .ops.pallas.decoder_cmajor import _align8, assemble_cm, tail_cm
 
 _DN = ("NHWC", "HWIO", "NHWC")
@@ -387,16 +388,17 @@ def _grouped_softmax_unnorm(v, group):
     EXACT in any dtype, and a ``group``-element (4-8 values) bf16 sum's
     rounding (~2^-9 relative per add) sits far below the path's own bf16
     quantization of v; only the reciprocal is computed in f32.  The f32
-    parity path keeps full f32 reductions."""
-    neg_inf = jnp.asarray(-jnp.inf, v.dtype)
-    m = lax.reduce_window(
-        v, neg_inf, lax.max, (1, 1, 1, group), (1, 1, 1, group), "VALID",
-    )
+    parity path keeps full f32 reductions (tree order — reduce_window's
+    reduction order is unspecified anyway and tests pin rtol).
+
+    Round 4: the reduce_windows are strided-slice max/sum trees instead —
+    channel-window reduce_window lowered to a ~4x-off-floor loop (budget
+    finding 6: 5 ms vs ~1 across enc0/enc1); ``group`` strided slices of
+    the sublane dim fuse into ONE pass over ``v``/``e``."""
+    cols = [v[..., g::group] for g in range(group)]  # element g of each group
+    m = functools.reduce(jnp.maximum, cols)
     e = jnp.exp(v - jnp.repeat(m, group, axis=-1))
-    s = lax.reduce_window(
-        e, jnp.asarray(0.0, v.dtype), lax.add,
-        (1, 1, 1, group), (1, 1, 1, group), "VALID",
-    )
+    s = functools.reduce(jnp.add, [e[..., g::group] for g in range(group)])
     if v.dtype == jnp.float32:
         return e, 1.0 / s
     return e, (1.0 / s.astype(jnp.float32)).astype(v.dtype)
@@ -617,17 +619,22 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
         inputs = [results[j] for j in node.inputs]
         if len(inputs) > 1:
             gates = node_p["gates"]
-            h = gates[0] * inputs[0]
-            for gi, inp in enumerate(inputs[1:], start=1):
-                if inp.shape != h.shape:
+            for inp in inputs[1:]:
+                if inp.shape != inputs[0].shape:
                     raise ValueError(
                         "serving path: unequal node resolutions at node "
-                        f"{node.id} ({inp.shape} vs {h.shape}). Structurally "
-                        "unreachable for stages built from stride-2 input "
-                        "nodes + stride-1 interiors (every WS/K5 graph); use "
-                        "the flax path for exotic stages (it carries the "
-                        "reference's resize alignment, encoder.py:92-113).")
-                h = h + gates[gi] * inp
+                        f"{node.id} ({inp.shape} vs {inputs[0].shape}). "
+                        "Structurally unreachable for stages built from "
+                        "stride-2 input nodes + stride-1 interiors (every "
+                        "WS/K5 graph); use the flax path for exotic stages "
+                        "(it carries the reference's resize alignment, "
+                        "encoder.py:92-113).")
+            if os.environ.get("UMT_GATED_SUM", "xla") == "pallas":
+                h = gated_sum(gates, inputs)
+            else:
+                h = gates[0] * inputs[0]
+                for gi, inp in enumerate(inputs[1:], start=1):
+                    h = h + gates[gi] * inp
         else:
             h = inputs[0]
         results[node.id] = jax.nn.elu(
@@ -678,15 +685,19 @@ def _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip, disparity,
     handle for a fused successor.  Values identical to
     ``_decoder_stage_apply`` (tests/test_serving.py).
 
-    Two pipelines (UMT_DEC_PIPELINE, default "squeeze_first"):
+    Two pipelines (UMT_DEC_PIPELINE, default "gate_z"):
+      gate_z         assemble_z (ungated, + SE sums) -> SE MLP -> gate_z
+                     in-place rewrite (the round-3 pipeline, and the
+                     measured winner).
       squeeze_first  se_squeeze -> SE MLP -> gated assemble: the cat tensor
                      is written ONCE, already gated (no gate_z rewrite of
-                     the z block).  The squeeze recomputes the lerp+ELU
-                     chain, but reads only the quarter-res skip (+ the tiny
-                     fm when folded) — cheaper than gate_z's full-res z
-                     read+write (round-4 budget).
-      gate_z         assemble_z (ungated, + SE sums) -> SE MLP -> gate_z
-                     in-place rewrite (the round-3 pipeline).
+                     the z block).  On paper the squeeze re-reads fewer
+                     bytes than gate_z re-writes, but the assemble-family
+                     kernels are VPU-bound, not byte-bound (they run ~3x
+                     off the HBM floor — round-4 budget finding 3), so
+                     recomputing the lerp+ELU chain costs MORE than
+                     gate_z's extra bytes: measured 936.9 fps vs 997
+                     (136.6 vs 128.8 ms/pass, BENCH_r03 vs round-4 WIP).
     Where the stage feature map has <= 8 channels (the full-res stage sees
     the 3-channel input image), the SE conv's fm half is folded into the
     kernels (k_fm) and the 1 GB se_fm tensor never exists in HBM.
@@ -694,13 +705,14 @@ def _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip, disparity,
     cso = cfg["skip_out_channels"]
     skip_feat_h = _conv1x1(skip, prm["se_skip"]["kernel"])
     kfm = prm["se_fm"]["kernel"]  # (1, 1, cf, cso)
-    fold = kfm.shape[2] <= 8
+    fold = (kfm.shape[2] <= 8
+            and os.environ.get("UMT_DEC_FOLD", "1") != "0")
     xc = _rconv(x, prm["upsample_conv"]["kernel"],
                 prm["upsample_conv"]["bias"])
 
     dh = disparity if cfg.get("concat_disp", True) else None
     squeeze_first = os.environ.get(
-        "UMT_DEC_PIPELINE", "squeeze_first") == "squeeze_first"
+        "UMT_DEC_PIPELINE", "gate_z") == "squeeze_first"
     if fold:
         se_in, k2 = feature_map, kfm[0, 0]
     else:
