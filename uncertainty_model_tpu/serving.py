@@ -28,6 +28,7 @@ PyTorch reference.
 
 from __future__ import annotations
 
+import functools
 import os
 from functools import partial
 from typing import Any, NamedTuple, Optional
