@@ -41,12 +41,13 @@ def timed(make, k1=8, k2=16):
 
 def main():
     b = int(os.environ.get("B", "128"))
+    fams = os.environ.get("FAMILIES", "gsum,smax").split(",")
     key = jax.random.PRNGKey(0)
-    for name, (h, w, c, k) in (
-        ("enc0-k3", (128, 256, 32, 3)),
+    gsum_shapes = (
         ("enc0-k4", (128, 256, 32, 4)),
         ("enc1-k3", (64, 128, 64, 3)),
-    ):
+    ) if "gsum" in fams else ()
+    for name, (h, w, c, k) in gsum_shapes:
         xs = [jax.random.normal(jax.random.fold_in(key, i), (b, h, w, c),
                                 jnp.bfloat16) for i in range(k)]
         g = jnp.linspace(0.3, 0.9, k, dtype=jnp.float32)
@@ -76,10 +77,11 @@ def main():
 
     # grouped softmax formulations at enc0/enc1 shapes (group = c/heads)
     import functools as ft
-    for name, (h, w, c, heads) in (
+    smax_shapes = (
         ("smax-enc0", (128, 256, 32, 8)),
         ("smax-enc1", (64, 128, 64, 8)),
-    ):
+    ) if "smax" in fams else ()
+    for name, (h, w, c, heads) in smax_shapes:
         v0 = jax.random.normal(key, (b, h, w, c), jnp.bfloat16)
         group = c // heads
 
