@@ -55,6 +55,60 @@ def torch_fanin_uniform(fan_in: int):
 # ---------------------------------------------------------------------------
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch ``nn.BatchNorm2d`` train/eval semantics.
+
+    flax ``nn.BatchNorm`` accumulates the BIASED batch variance into the
+    running ``var``; torch accumulates the UNBIASED one (Bessel factor
+    n/(n-1)) while still normalising the batch with the biased variance
+    (reference model/layers/encoder.py:43 under torch defaults).  The
+    factor is material at the deep stages (n = B*H*W can be 16 at the
+    bottleneck -> 6.7% variance skew) and surfaced as eval-mode drift after
+    multi-step training (tests/test_train_trajectory.py).  Parameter /
+    collection names match ``nn.BatchNorm`` ("scale"/"bias" params,
+    "mean"/"var" batch_stats), so checkpoints and the torch->flax weight
+    converter are unaffected.
+
+    Statistics are computed in f32 over the GLOBAL (mesh-sharded) batch
+    under jit, so data-parallel training gets exact sync-BN (the
+    reference's SyncBatchNorm, parallel_main.py:157) with the Bessel n
+    being the global count — torch SyncBatchNorm's convention too.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                bessel = jnp.float32(n / (n - 1)) if n > 1 else jnp.float32(1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var * bessel
+        dt = self.dtype or x.dtype
+        inv = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(dt)
+        return (x - mean.astype(dt)) * inv + bias.astype(dt)
+
+
 class ConvBNELU(nn.Module):
     """Zero-pad -> Conv -> BatchNorm -> ELU (reference model/layers/
     encoder.py:21-52, ``ConvELUBlock``).
@@ -108,9 +162,9 @@ class ConvBNELU(nn.Module):
         if self.s2d:
             b_, h_, w_, _ = x.shape
             x = x.reshape(b_, h_, w_, 4, self.out_channels)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            use_fast_variance=False, dtype=self.dtype, name="bn"
+            dtype=self.dtype, name="bn"
         )(x)
         x = nn.elu(x)
         if self.s2d:
@@ -340,18 +394,32 @@ class _ConvParams(nn.Module):
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _reflect_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+def _reflect_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                  act=None, pre=None) -> jnp.ndarray:
     """Same-size reflect(1)-padded 3x3 conv without materialising the padded
     tensor (see ops/conv.py): one conv with *internal* zero padding (already
     correct everywhere except the 1-pixel border), then the four border
     strips — recomputed from reflect-padded 3-row/3-col slices — are written
-    in place with dynamic_update_slice.  Bit-exact with pad-then-conv."""
+    in place with dynamic_update_slice.  Bit-exact with pad-then-conv.
+
+    ``pre`` / ``act`` are optional elementwise hooks applied to each conv
+    piece's input / biased output.  Because they are elementwise they
+    commute with the DUS border writes, so ``_reflect_conv(x, k, b, act=f,
+    pre=g)`` == ``f(_reflect_conv(g(x), k, b))`` exactly — but each hook has
+    exactly ONE conv consumer per piece, so XLA fuses it into the conv
+    instead of materialising a full-tensor pass (serving.py gate/ELU
+    folding; ``pre`` must be spatially pointwise, e.g. a per-(batch,
+    channel) scale or an activation, so it commutes with the strip
+    slicing/padding)."""
     import jax.lax as lax
 
     def conv(inp, padding):
+        if pre is not None:
+            inp = pre(inp)
         out = lax.conv_general_dilated(inp, kernel, (1, 1), padding,
                                        dimension_numbers=_DN)
-        return out + bias
+        out = out + bias
+        return act(out) if act is not None else out
 
     full = conv(x, [(1, 1), (1, 1)])  # internal zero pad, no copy
 
@@ -455,9 +523,9 @@ class DecoderConvELU(nn.Module):
             dtype=self.dtype, name="conv_layer",
         )(x)
         if self.batch_norm:
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                use_fast_variance=False, dtype=self.dtype, name="bn",
+                dtype=self.dtype, name="bn",
             )(x)
         return nn.elu(x)
 
