@@ -70,10 +70,11 @@ def bench(verbose: bool = False) -> dict:
 
     batch = 128
     log("compiling + measuring...")
-    # median of 5 slope samples + spread, so round-over-round deltas are
-    # attributable (tunnel/cache variance measured ~5% between single runs)
+    # median of 9 slope samples + spread, so round-over-round deltas are
+    # attributable (tunnel/cache variance measured ~5% between single runs;
+    # round-4 spread hit 2.5% at 5 reps — verdict asked for 9)
     samples = sorted(
-        measure_forward_samples(apply_fn, variables, batch, reps=5))
+        measure_forward_samples(apply_fn, variables, batch, reps=9))
     sec_per_pass = samples[len(samples) // 2]
     fps = batch / sec_per_pass
     spread = (samples[-1] - samples[0]) / sec_per_pass

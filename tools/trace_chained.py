@@ -28,13 +28,19 @@ def main():
     s2d = ()
     k = 3
     dec_backend = "fused"
+    pipeline = None
+    elu_fold = None
     for i, a in enumerate(args):
         if a == "--s2d":
             s2d = tuple(int(v) for v in args[i + 1].split(",") if v != "")
         if a == "--k":
             k = int(args[i + 1])
-        if a == "--decoder":     # fused | cmajor | direct (no fused stages)
+        if a == "--decoder":     # fused | direct (no fused stages)
             dec_backend = args[i + 1]
+        if a == "--pipeline":    # gate_z | gate_fold | squeeze_first
+            pipeline = args[i + 1]
+        if a == "--elu-fold":
+            elu_fold = args[i + 1] != "0"
 
     import jax
     import jax.numpy as jnp
@@ -56,7 +62,7 @@ def main():
     serving_fwd, variables = make_serving_forward(
         model, raw, s2d_stages=s2d, dtype=jnp.bfloat16,
         fused_stages=() if dec_backend == "direct" else (2, 3, 4),
-        decoder_backend=dec_backend if dec_backend != "direct" else "fused")
+        dec_pipeline=pipeline, elu_fold=elu_fold)
 
     @jax.jit
     def run(variables, x):

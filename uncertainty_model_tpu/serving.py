@@ -55,7 +55,6 @@ from .ops.s2d import (
 )
 from .ops.pallas.decoder_fused import assemble, assemble_z, gate_z, se_squeeze
 from .ops.pallas.gated_sum import gated_sum
-from .ops.pallas.decoder_cmajor import _align8, assemble_cm, tail_cm
 
 _DN = ("NHWC", "HWIO", "NHWC")
 _BN_EPS = 1e-5
@@ -77,24 +76,35 @@ def _conv(x, kernel, bias, stride=1):
     return y + bias
 
 
-def _conv1x1(x, kernel, bias=None):
+def _conv1x1(x, kernel, bias=None, pre=None):
     """1x1 conv via lax.conv (NOT einsum: the conv op keeps XLA's NHWC
-    activation layouts; a matmul lowering relayouts the whole map)."""
+    activation layouts; a matmul lowering relayouts the whole map).
+
+    ``pre``: optional elementwise input hook (e.g. the folded SE gate
+    scale).  When set, the input barrier is dropped so the hook has exactly
+    one consumer and rides the conv's input fusion instead of
+    materialising a full-tensor pass."""
+    h = x if pre is None else pre(x)
     y = lax.conv_general_dilated(
-        _maybe_barrier(x), kernel, (1, 1), "VALID", dimension_numbers=_DN
+        h if pre is not None else _maybe_barrier(h), kernel, (1, 1), "VALID",
+        dimension_numbers=_DN
     )
     return y if bias is None else y + bias
 
 
-def _rconv(x, kernel, bias):
+def _rconv(x, kernel, bias, act=None, pre=None):
     """Reflect(1)-padded 3x3 conv: border-fixup lowering for real maps, the
     plain pad fallback for degenerate (<3 px) ones (same dispatch as
-    models/layers.py ConvLayer)."""
+    models/layers.py ConvLayer).  ``act``/``pre``: elementwise output/input
+    hooks fused per conv piece (see models/layers.py _reflect_conv)."""
     if x.shape[1] >= 3 and x.shape[2] >= 3:
-        return _reflect_conv(x, kernel, bias)
+        return _reflect_conv(x, kernel, bias, act=act, pre=pre)
+    if pre is not None:
+        x = pre(x)
     x = pad2d(x, (1, 1, 1, 1), mode="reflect")
     y = lax.conv_general_dilated(x, kernel, (1, 1), "VALID", dimension_numbers=_DN)
-    return y + bias
+    y = y + bias
+    return act(y) if act is not None else y
 
 
 def _fold_bn(kernel, bias, bn_params, bn_stats):
@@ -124,6 +134,7 @@ class _StageSpec(NamedTuple):
     channels: int = 0      # original (non-s2d) out_channels
     conv_backend: str = "pallas"  # interior conv impl: pallas | lax
     attn_native: bool = False  # s2d stage: depth_to_space before attention
+    gated_sum: str = "xla"  # node input gating: xla mul-add chain | pallas
 
 
 # ---------------------------------------------------------------------------
@@ -143,17 +154,11 @@ def _node_gates(node, mean_weight, parity_weight_indexing=True):
     return jnp.stack([g[i] for i in idx])
 
 
-def _stack_kt(k):
-    """(3, 3, Ci, Co) HWIO -> (3, Co, 3Ci): the column-tap-stacked transposed
-    kernel the channel-major tail kernel contracts against (decoder_cmajor)."""
-    return jnp.stack([
-        jnp.concatenate([k[u, v] for v in range(3)], axis=0).T
-        for u in range(3)])
-
-
 def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16,
                          s2d_conv_backend="pallas", fused_stages=(2, 3, 4),
-                         s2d_attention="s2d", decoder_backend="fused"):
+                         s2d_attention="s2d", decoder_backend="fused",
+                         dec_pipeline=None, dec_fold=None, elu_fold=None,
+                         gated_sum_backend=None):
     """Fold a trained model's variables into the serving parameter tree.
 
     Returns ``(specs, params)``: ``specs`` is static (closed over by the
@@ -175,14 +180,33 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
     attention (the stage then returns a native tensor, so a following s2d
     stage pays its own input transform).
 
-    ``decoder_backend`` on-chip status (docs/PERFORMANCE.md):
-      "fused"  — production default; compiles and wins on the real chip.
-      "cmajor" — EXPERIMENTAL, FROZEN: stage-4 kernels compile but measure
-                 34.95 ms (no better than "fused"), and the stage-3 tail
-                 FAILS to compile on real TPU (Mosaic HTTP 500).  Kept for
-                 its interpret-mode-tested kernel algebra only; do not
-                 enable in production.
+    ``decoder_backend``: "fused" (the production Pallas-glue decoder) is
+    the only backend.  A channel-major fully-fused chain ("cmajor") was
+    built and measured in rounds 3-4: stage-4 kernels compiled but were no
+    faster (34.95 ms vs the fused path's chain) and the stage-3 tail failed
+    to compile on real TPU (Mosaic HTTP 500) — deleted in round 5; the
+    writeup survives in docs/PERFORMANCE.md.
+
+    ``dec_pipeline`` ("gate_z" | "gate_fold" | "squeeze_first"),
+    ``dec_fold`` (in-kernel SE fm fold where cf <= 8), ``elu_fold`` (iconv
+    ELU folded into its consumers' conv pieces) and ``gated_sum_backend``
+    ("xla" | "pallas", encoder node gating) are resolved HERE, at build
+    time, from the UMT_DEC_PIPELINE / UMT_DEC_FOLD / UMT_ELU_FOLD /
+    UMT_GATED_SUM environment defaults — flipping the env after the first
+    compile has no effect and the built pipeline is inspectable in the
+    returned specs (advisor round-4 finding).  See
+    _decoder_stage_apply_fused for what each pipeline does.
     """
+    if dec_pipeline is None:
+        dec_pipeline = os.environ.get("UMT_DEC_PIPELINE", "gate_z")
+    if dec_fold is None:
+        dec_fold = os.environ.get("UMT_DEC_FOLD", "1") != "0"
+    if elu_fold is None:
+        elu_fold = os.environ.get("UMT_ELU_FOLD", "0") != "0"
+    if gated_sum_backend is None:
+        gated_sum_backend = os.environ.get("UMT_GATED_SUM", "xla")
+    if dec_pipeline not in ("gate_z", "gate_fold", "squeeze_first"):
+        raise ValueError(f"unknown dec_pipeline {dec_pipeline!r}")
     p, s = variables["params"], variables["batch_stats"]
 
     enc_specs, enc_params = [], []
@@ -231,7 +255,8 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
         enc_specs.append(_StageSpec(graph=graph, heads=heads, s2d=use_s2d,
                                     s2d_in=s2d_in, channels=out_ch,
                                     conv_backend=s2d_conv_backend,
-                                    attn_native=attn_native))
+                                    attn_native=attn_native,
+                                    gated_sum=gated_sum_backend))
         enc_params.append({"nodes": nodes, "attention": attn})
         prev_s2d = use_s2d and not attn_native
 
@@ -261,9 +286,15 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
         #   - when the PREVIOUS stage is fused, its full cat tensor is this
         #     stage's skip handle: the se_conv skip half is zero-embedded to
         #     cat's channel count (z sits first, so rows [0, cso_prev))
+        if decoder_backend != "fused":
+            raise ValueError(f"unknown decoder_backend {decoder_backend!r} "
+                             "(the cmajor experiment was removed in round 5)")
         eligible = i in fused_stages and cfg.get("scale", 2) == 2
-        cfg["fused"] = eligible and decoder_backend == "fused"
-        cfg["cmajor"] = eligible and decoder_backend == "cmajor"
+        cfg["fused"] = eligible
+        if cfg["fused"]:
+            cfg["pipeline"] = dec_pipeline
+            cfg["fold"] = dec_fold and cfg["feature_in_channels"] <= 8
+            cfg["elu_fold"] = elu_fold
         cfg["disp_in_ch"] = (prev_disp_ch if cfg.get("concat_disp", True)
                              else 0)
         if cfg["fused"]:
@@ -315,51 +346,12 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
         dec_specs.append(cfg)
         dec_params.append(stage)
 
-    # channel-major fully-fused chain (ops/pallas/decoder_cmajor.py):
-    # rewrite each marked stage's folded convs into the kernel forms, and
-    # link consecutive stages — stage i's tail computes stage i+1's
-    # upsample conv and SE skip projection, so the chain must be a
-    # contiguous SUFFIX of the decoder ('out' never exists outside the
-    # kernels; a non-cmajor successor would have nothing to consume).
-    flags = [c.get("cmajor", False) for c in dec_specs]
-    if any(flags):
-        first = flags.index(True)
-        if not all(flags[first:]):
-            raise ValueError(
-                "decoder_backend='cmajor' requires the fused stages to form "
-                f"a contiguous suffix of the decoder, got mask {flags} "
-                "(adjust fused_stages)")
-        for i in range(first, len(dec_specs)):
-            cfg, stage = dec_specs[i], dec_params[i]
-            cu = cfg["upsample_channels"]
-            cso = cfg["skip_out_channels"]
-            cf = cfg["feature_in_channels"]
-            se_old = stage.pop("se_conv")
-            stage["kfm"] = se_old["kernel"][0, 0, :cf].T
-            stage["se_bias"] = se_old["bias"]
-            ki = stage.pop("iconv")
-            ki_perm = jnp.concatenate(
-                [ki["kernel"][:, :, cu:cu + cso], ki["kernel"][:, :, :cu],
-                 ki["kernel"][:, :, cu + cso:]], axis=2)
-            stage["kt_ic"] = _stack_kt(ki_perm)
-            stage["b_ic"] = ki["bias"]
-            if cfg.get("calculate_disp", True):
-                d = stage.pop("disp")
-                stage["kt_d"] = _stack_kt(d["kernel"])
-                stage["b_d"] = d["bias"]
-            ku = stage.pop("upsample_conv")
-            perm = jnp.asarray(
-                [c * 4 + pph for pph in range(4) for c in range(cu)])
-            kup, bup = ku["kernel"][..., perm], ku["bias"][perm]
-            if i > first:
-                # produced by the previous stage's tail kernel
-                dec_params[i - 1]["kt_up_next"] = _stack_kt(kup)
-                dec_params[i - 1]["bup_next"] = bup
-                dec_params[i - 1]["ksk_next"] = se_old["kernel"][0, 0, cf:].T
-            else:
-                # entry from XLA-land (previous stage is unfused)
-                stage["up_entry"] = {"kernel": kup, "bias": bup}
-                stage["skip_entry"] = {"kernel": se_old["kernel"][:, :, cf:]}
+    # an elu_fold stage hands its successor a PRE-ELU ``out``; the consumer
+    # applies the ELU inside its upsample conv's input fusion
+    for i in range(1, len(dec_specs)):
+        dec_specs[i]["x_needs_elu"] = bool(
+            dec_specs[i - 1].get("fused") and
+            dec_specs[i - 1].get("elu_fold"))
 
     params = {"encoder": enc_params, "decoder": dec_params}
     if dtype is not None:
@@ -630,7 +622,7 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
                         "WS/K5 graph); use the flax path for exotic stages "
                         "(it carries the reference's resize alignment, "
                         "encoder.py:92-113).")
-            if os.environ.get("UMT_GATED_SUM", "xla") == "pallas":
+            if spec.gated_sum == "pallas":
                 h = gated_sum(gates, inputs)
             else:
                 h = gates[0] * inputs[0]
@@ -679,46 +671,59 @@ def _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip, disparity,
                                disp_scale):
     """Fused-glue decoder stage (ops/pallas/decoder_fused.py).
 
-    ``skip`` is either a plain skip tensor or the previous fused stage's
-    full cat tensor (whose gated-z channels [0, cso_prev) are that skip —
-    the se_skip kernel was zero-embedded at build time accordingly).
-    Returns ``(out, cat, disp)``: ``cat`` doubles as this stage's skip
-    handle for a fused successor.  Values identical to
-    ``_decoder_stage_apply`` (tests/test_serving.py).
+    ``skip`` is ``(tensor, scale_or_None)``: either a plain skip tensor or
+    the previous fused stage's full cat tensor (whose z channels
+    [0, cso_prev) are that skip — the se_skip kernel was zero-embedded at
+    build time accordingly), plus, under the previous stage's gate_fold
+    pipeline, the per-(batch, channel) gate scale that was never applied to
+    the stored tensor.  Returns ``(out, (cat, scale), disp)``: ``cat``
+    doubles as this stage's skip handle for a fused successor.  ``x``
+    arrives PRE-ELU when the previous stage ran elu_fold (cfg
+    "x_needs_elu"); ``out`` is returned pre-ELU when cfg "elu_fold" is set.
+    Values identical to ``_decoder_stage_apply`` (tests/test_serving.py).
 
-    Two pipelines (UMT_DEC_PIPELINE, default "gate_z"):
+    Pipelines (build-time ``dec_pipeline``, default "gate_z"):
       gate_z         assemble_z (ungated, + SE sums) -> SE MLP -> gate_z
-                     in-place rewrite (the round-3 pipeline, and the
-                     measured winner).
+                     in-place rewrite (the round-3 pipeline).
+      gate_fold      assemble_z -> SE MLP -> the gate scale rides the
+                     consumers' conv-INPUT fusions (iconv here, the
+                     successor's se_skip 1x1): the z block is never
+                     re-written and the gate_z pass disappears.  Exact:
+                     conv(g*x) with g per-(batch, channel).
       squeeze_first  se_squeeze -> SE MLP -> gated assemble: the cat tensor
-                     is written ONCE, already gated (no gate_z rewrite of
-                     the z block).  On paper the squeeze re-reads fewer
-                     bytes than gate_z re-writes, but the assemble-family
-                     kernels are VPU-bound, not byte-bound (they run ~3x
-                     off the HBM floor — round-4 budget finding 3), so
-                     recomputing the lerp+ELU chain costs MORE than
-                     gate_z's extra bytes: measured 936.9 fps vs 997
-                     (136.6 vs 128.8 ms/pass, BENCH_r03 vs round-4 WIP).
+                     is written ONCE, already gated.  The assemble-family
+                     kernels are VPU-bound, so recomputing the lerp+ELU
+                     chain cost MORE than gate_z's extra bytes: measured
+                     936.9 fps vs 997 (round 4).
+    ``elu_fold``: the iconv's output ELU is applied per conv PIECE of its
+    consumers (the disp head here, the successor's upsample conv) instead
+    of as a standalone full-tensor pass — exact, because elementwise ops
+    commute with the border-fixup DUS writes (models/layers.py
+    _reflect_conv).
     Where the stage feature map has <= 8 channels (the full-res stage sees
     the 3-channel input image), the SE conv's fm half is folded into the
-    kernels (k_fm) and the 1 GB se_fm tensor never exists in HBM.
+    kernels (k_fm, cfg "fold") and the 1 GB se_fm tensor never exists in
+    HBM.
     """
     cso = cfg["skip_out_channels"]
-    skip_feat_h = _conv1x1(skip, prm["se_skip"]["kernel"])
+    pipeline = cfg.get("pipeline", "gate_z")
+    skip_t, skip_scale = skip if isinstance(skip, tuple) else (skip, None)
+    skip_pre = (None if skip_scale is None
+                else (lambda t: t * skip_scale.astype(t.dtype)))
+    skip_feat_h = _conv1x1(skip_t, prm["se_skip"]["kernel"], pre=skip_pre)
     kfm = prm["se_fm"]["kernel"]  # (1, 1, cf, cso)
-    fold = (kfm.shape[2] <= 8
-            and os.environ.get("UMT_DEC_FOLD", "1") != "0")
+    fold = cfg.get("fold", kfm.shape[2] <= 8)
+    x_pre = jax.nn.elu if cfg.get("x_needs_elu") else None
     xc = _rconv(x, prm["upsample_conv"]["kernel"],
-                prm["upsample_conv"]["bias"])
+                prm["upsample_conv"]["bias"], pre=x_pre)
 
     dh = disparity if cfg.get("concat_disp", True) else None
-    squeeze_first = os.environ.get(
-        "UMT_DEC_PIPELINE", "gate_z") == "squeeze_first"
     if fold:
         se_in, k2 = feature_map, kfm[0, 0]
     else:
         se_in, k2 = _conv1x1(feature_map, kfm), None
-    if squeeze_first:
+    gscale = None
+    if pipeline == "squeeze_first":
         mean = se_squeeze(se_in, skip_feat_h, prm["se_bias"], k_fm=k2)
         gates = _se_gates(prm["se"], mean, skip_feat_h.dtype)
         cat = assemble(se_in, skip_feat_h, gates, xc, dh, prm["se_bias"],
@@ -727,75 +732,27 @@ def _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip, disparity,
         cat, mean = assemble_z(se_in, skip_feat_h, xc, dh, prm["se_bias"],
                                k_fm=k2)
         gates = _se_gates(prm["se"], mean, skip_feat_h.dtype)
-        cat = gate_z(cat, gates, cso)
+        if pipeline == "gate_fold":
+            ones = jnp.ones((gates.shape[0], cat.shape[-1] - cso),
+                            gates.dtype)
+            gscale = jnp.concatenate([gates, ones], axis=-1)[:, None, None]
+        else:
+            cat = gate_z(cat, gates, cso)
 
-    out = jax.nn.elu(_rconv(cat, prm["iconv"]["kernel"],
-                            prm["iconv"]["bias"]))
+    cat_pre = (None if gscale is None
+               else (lambda t: t * gscale.astype(t.dtype)))
+    elu_fold = cfg.get("elu_fold", False)
+    out = _rconv(cat, prm["iconv"]["kernel"], prm["iconv"]["bias"],
+                 act=None if elu_fold else jax.nn.elu, pre=cat_pre)
     disp = None
     if cfg.get("calculate_disp", True):
-        disp = disp_scale * jax.nn.sigmoid(
-            _rconv(out, prm["disp"]["kernel"], prm["disp"]["bias"]))
-    return out, cat, disp
-
-
-def _to_cm(x):
-    """(B, H, W, C) -> (H, C, W, B) channel-major (a REAL relayout — only
-    used on chain-entry tensors and per-stage feature maps)."""
-    return jnp.transpose(x, (1, 3, 2, 0))
-
-
-def _pad_cm(t):
-    """Zero-pad rows/cols by 1 and align the padded width to 8 — the
-    assemble_cm half-res input convention (edge lerp weights are exactly
-    0/1, so the pad values never contribute)."""
-    h2, c, w2, b = t.shape
-    wa = _align8(w2 + 2)
-    return jnp.pad(t, ((1, 1), (0, 0), (1, wa - w2 - 1), (0, 0)))
-
-
-def _decoder_stage_cmajor(prm, cfg, carry, x, feature_map, skip, disparity,
-                          disp_scale):
-    """One channel-major fully-fused decoder stage (decoder_cmajor.py).
-
-    ``carry`` is ``(xc_t, sk_t, disp_t)`` from the previous stage's tail
-    kernel (None on chain entry, where the upsample conv and skip
-    projection run in XLA and get relayouted once).  Returns
-    ``(disp_t, carry_next)`` — both in (H, C, W, B) layout.
-    """
-    cu = cfg["upsample_channels"]
-    cso = cfg["skip_out_channels"]
-    co = cfg["out_channels"]
-    cd_in = cfg["disp_in_ch"]
-    h, w = feature_map.shape[1], feature_map.shape[2]
-
-    if carry is None:
-        xc = _rconv(x, prm["up_entry"]["kernel"], prm["up_entry"]["bias"])
-        xc_t = _to_cm(xc)
-        sk_t = _to_cm(_conv1x1(skip, prm["skip_entry"]["kernel"]))
-        disp_t = _to_cm(disparity) if cd_in else None
-    else:
-        xc_t, sk_t, disp_t = carry
-
-    cat, sums = assemble_cm(
-        _to_cm(feature_map), prm["kfm"], xc_t, _pad_cm(sk_t),
-        _pad_cm(disp_t) if cd_in else None, prm["se_bias"], cso, cu, cd_in)
-    mean = (sums / jnp.float32(h * w)).T
-    gates = _se_gates(prm["se"], mean, cat.dtype).T
-
-    cd_out = (cfg.get("disp_channels", 4)
-              if cfg.get("calculate_disp", True) else 0)
-    disp_out, xc_n, sk_n = tail_cm(
-        cat, gates, prm["kt_ic"], prm["b_ic"],
-        prm.get("kt_d"), prm.get("b_d"), disp_scale,
-        prm.get("kt_up_next"), prm.get("bup_next"), prm.get("ksk_next"),
-        cso, co, cd_out, w)
-    return disp_out, (xc_n, sk_n, disp_out)
+        disp = _rconv(out, prm["disp"]["kernel"], prm["disp"]["bias"],
+                      act=lambda y: disp_scale * jax.nn.sigmoid(y),
+                      pre=jax.nn.elu if elu_fold else None)
+    return out, (cat, gscale), disp
 
 
 def _decoder_stage_apply(prm, cfg, x, feature_map, skip, disparity, disp_scale):
-    if cfg.get("fused"):
-        return _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip,
-                                          disparity, disp_scale)
     r = cfg.get("scale", 2)
 
     # se_conv, split over (feature_map, skip) with the skip part hoisted
@@ -837,7 +794,9 @@ def _decoder_stage_apply(prm, cfg, x, feature_map, skip, disparity, disp_scale):
 def make_serving_forward(model, variables, s2d_stages=(0, 1),
                          dtype: Optional[Any] = jnp.bfloat16,
                          s2d_conv_backend="pallas", fused_stages=(2, 3, 4),
-                         s2d_attention="s2d", decoder_backend="fused"):
+                         s2d_attention="s2d", decoder_backend="fused",
+                         dec_pipeline=None, dec_fold=None, elu_fold=None,
+                         gated_sum_backend=None):
     """Returns ``(forward, params)`` where ``forward(params, x, disp_scale=1.0)``
     computes the full-resolution 4-channel [l_disp, r_disp, l_unc, r_unc]
     map (the reference's eval output, model/decoder.py:59-62)."""
@@ -845,6 +804,8 @@ def make_serving_forward(model, variables, s2d_stages=(0, 1),
         model, variables, s2d_stages=s2d_stages, dtype=dtype,
         s2d_conv_backend=s2d_conv_backend, fused_stages=fused_stages,
         s2d_attention=s2d_attention, decoder_backend=decoder_backend,
+        dec_pipeline=dec_pipeline, dec_fold=dec_fold, elu_fold=elu_fold,
+        gated_sum_backend=gated_sum_backend,
     )
 
     def forward(params, x, disp_scale=1.0):
@@ -871,23 +832,28 @@ def make_serving_forward(model, variables, s2d_stages=(0, 1),
         dp = params["decoder"]
 
         # hard-wired 5-stage dataflow (reference model/decoder.py:49-57):
-        # the deepest map is its own skip; cmajor stages thread a carry of
-        # channel-major tensors between kernels instead of out/skip/disp
+        # the deepest map is its own skip
         fms = (f4, f3, f2, f1, x)
         out, skip, disp = x4, x4, None
-        carry = None
         for i, cfg in enumerate(dec_specs):
             with jax.named_scope(f"dec{i}"):
-                if cfg.get("cmajor"):
-                    disp_cm, carry = _decoder_stage_cmajor(
-                        dp[i], cfg, carry, out, fms[i], skip, disp,
-                        disp_scale)
+                if cfg.get("fused"):
+                    out, skip, disp = _decoder_stage_apply_fused(
+                        dp[i], cfg, out, fms[i], skip, disp, disp_scale)
                 else:
+                    # a fused predecessor may hand over a pre-ELU out
+                    # and/or a (cat, gate-scale) skip handle; materialise
+                    # both for the generic stage (unreachable in the
+                    # production config, where the fused stages are a
+                    # suffix)
+                    if cfg.get("x_needs_elu"):
+                        out = jax.nn.elu(out)
+                    if isinstance(skip, tuple):
+                        t, sc = skip
+                        skip = t if sc is None else t * sc.astype(t.dtype)
                     out, skip, disp = _decoder_stage_apply(
                         dp[i], cfg, out, fms[i], skip, disp,
                         disp_scale=disp_scale)
-        if dec_specs[-1].get("cmajor"):
-            return jnp.transpose(disp_cm, (3, 0, 2, 1))
         return disp
 
     return forward, params
