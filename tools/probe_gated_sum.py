@@ -26,16 +26,22 @@ jax.config.update("jax_default_matmul_precision", "bfloat16")
 from uncertainty_model_tpu.ops.pallas.gated_sum import gated_sum
 
 
-def timed(make, k1=8, k2=16):
+def timed(make, k1=8, k2=16, reps=5):
+    """min-of-reps per loop length before the slope — a single scheduling
+    hiccup on either endpoint otherwise skews the go/no-go numbers
+    (advisor round-4 finding)."""
     f1, f2 = jax.jit(make(k1)), jax.jit(make(k2))
     a = jnp.zeros((), jnp.bfloat16)
     for f in (f1, f2):
         jax.block_until_ready(f(a))
     ts = []
-    for f, k in ((f1, k1), (f2, k2)):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(a))
-        ts.append(time.perf_counter() - t0)
+    for f in (f1, f2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(a))
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
     return (ts[1] - ts[0]) / (k2 - k1) * 1e3
 
 

@@ -86,7 +86,8 @@ def main():
             zs = z * g[:, None, None, :]
             xup = pixel_shuffle(jax.nn.elu(xc), 2)
             du = resize_bilinear(disp, (H, W))
-            return jnp.concatenate([xup, zs, du], axis=-1)
+            # [z | xup | disp] — the channel order assemble() emits
+            return jnp.concatenate([zs, xup, du], axis=-1)
 
         ops = (se_fm, skip_h, xc, disp, gates, bias)
         f = bench("fused (pallas)", fused, ops)

@@ -54,6 +54,12 @@ def main():
             def fn(se_fm, skip_h, xc, disp, gates, bias):
                 m = df.se_squeeze(se_fm, skip_h, bias)
                 return se_fm * (1 + 1e-6 * jnp.mean(m).astype(dt))
+        elif which == "z":
+            def fn(se_fm, skip_h, xc, disp, gates, bias):
+                cat, m = df.assemble_z(se_fm, skip_h, xc, disp, bias)
+                eps = (1e-6 * jnp.mean(cat[..., :1].astype(jnp.float32))
+                       + 1e-6 * jnp.mean(m))
+                return se_fm * (1 + eps.astype(dt))
         else:
             def fn(se_fm, skip_h, xc, disp, gates, bias):
                 cat = df.assemble(se_fm, skip_h, gates, xc, disp, bias)

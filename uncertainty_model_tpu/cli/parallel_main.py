@@ -35,10 +35,28 @@ def build_parallel_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num-processes", default=1, type=int)
     parser.add_argument("--process-id", default=0, type=int)
     parser.add_argument("--init-seed", default=0, type=int)
+    parser.add_argument("--debug-distributed", action="store_true",
+                        help="verbose rendezvous/compile/collective "
+                             "diagnostics — the reference's "
+                             "TORCH_DISTRIBUTED_DEBUG=DETAIL analogue "
+                             "(parallel_main.py:80-81,275-277).")
     return parser
 
 
 def main(args: argparse.Namespace) -> None:
+    if getattr(args, "debug_distributed", False):
+        import logging
+
+        import jax
+
+        logging.basicConfig(level=logging.INFO)
+        for mod in ("jax._src.distributed", "jax._src.clusters",
+                    "jax._src.compiler"):
+            logging.getLogger(mod).setLevel(logging.DEBUG)
+        # log every XLA compile with shapes/shardings — the most useful
+        # signal when a multi-host program wedges or recompiles per step
+        jax.config.update("jax_log_compiles", True)
+
     if args.num_processes > 1:
         import jax
 

@@ -162,7 +162,10 @@ def _pick_blocks(h2, w, per_cell_bytes, budget=_BLOCK_BUDGET):
         rh, wb = (int(v) for v in override.split(","))
         return rh, wb
     wb = w
-    while wb > 16 and wb * per_cell_bytes > budget:
+    # the w-divisibility guard mirrors the rows loop below: an indivisible
+    # wb would make grid=(.., w // wb) silently skip trailing columns
+    while (wb > 16 and wb * per_cell_bytes > budget
+           and w % (wb // 2) == 0):
         wb //= 2
     rh = 1
     while (rh * 2 <= 8 and h2 % (rh * 2) == 0
@@ -363,7 +366,8 @@ def _gate_z_pallas(cat, gates, cso):
     # OOM at 128 MB physical VMEM)
     cell = cso * b * cat.dtype.itemsize
     wb = w
-    while wb > 16 and wb * cell > 4 * 1024 * 1024:
+    while (wb > 16 and wb * cell > 4 * 1024 * 1024
+           and w % (wb // 2) == 0):
         wb //= 2
     rows = 1
     while (rows * 2 <= 8 and h % (rows * 2) == 0

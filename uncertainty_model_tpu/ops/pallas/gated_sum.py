@@ -46,7 +46,8 @@ def _gated_sum_pallas(gates, xs, interpret=False):
 
     cell = c * b * xs[0].dtype.itemsize
     wb = w
-    while wb > 16 and wb * cell > 4 * 1024 * 1024:
+    while (wb > 16 and wb * cell > 4 * 1024 * 1024
+           and w % (wb // 2) == 0):
         wb //= 2
     rows = 1
     while (rows * 2 <= 8 and h % (rows * 2) == 0
