@@ -26,10 +26,15 @@ jax.config.update("jax_default_matmul_precision", "bfloat16")
 from uncertainty_model_tpu.ops.pallas.gated_sum import gated_sum
 
 
-def timed(make, k1=8, k2=16, reps=5):
+def timed(make, k1=None, k2=None, reps=5):
     """min-of-reps per loop length before the slope — a single scheduling
     hiccup on either endpoint otherwise skews the go/no-go numbers
-    (advisor round-4 finding)."""
+    (advisor round-4 finding).  K1/K2 env-overridable: the remote-compile
+    tunnel drops the very large k=16 fori_loop programs."""
+    if k1 is None:
+        k1 = int(os.environ.get("K1", "2"))
+    if k2 is None:
+        k2 = int(os.environ.get("K2", "6"))
     f1, f2 = jax.jit(make(k1)), jax.jit(make(k2))
     a = jnp.zeros((), jnp.bfloat16)
     for f in (f1, f2):

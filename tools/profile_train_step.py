@@ -40,7 +40,7 @@ def roundtrip(x):
 
 
 def main():
-    B = 8
+    B = int(os.environ.get("B", "8"))
     rng = np.random.default_rng(0)
     disp = jnp.asarray(rng.uniform(0, 0.3, (B, 256, 512, 1)).astype(np.float32))
     src = jnp.asarray(rng.uniform(size=(B, 256, 512, 3)).astype(np.float32))

@@ -198,7 +198,11 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
     _decoder_stage_apply_fused for what each pipeline does.
     """
     if dec_pipeline is None:
-        dec_pipeline = os.environ.get("UMT_DEC_PIPELINE", "gate_z")
+        # round-5 interleaved ladder (tools/ladder_r5.py, reps 7): gate_z
+        # 123.84 ms / 1033.6 fps, gate_fold 117.93 / 1085.4, gate_fold +
+        # elu_fold 118.93 / 1076.3 — gate_fold wins by 4.8% (spread ~1%),
+        # elu_fold on top is neutral-to-negative and stays off.
+        dec_pipeline = os.environ.get("UMT_DEC_PIPELINE", "gate_fold")
     if dec_fold is None:
         dec_fold = os.environ.get("UMT_DEC_FOLD", "1") != "0"
     if elu_fold is None:
@@ -682,7 +686,7 @@ def _decoder_stage_apply_fused(prm, cfg, x, feature_map, skip, disparity,
     "x_needs_elu"); ``out`` is returned pre-ELU when cfg "elu_fold" is set.
     Values identical to ``_decoder_stage_apply`` (tests/test_serving.py).
 
-    Pipelines (build-time ``dec_pipeline``, default "gate_z"):
+    Pipelines (build-time ``dec_pipeline``, default "gate_fold"):
       gate_z         assemble_z (ungated, + SE sums) -> SE MLP -> gate_z
                      in-place rewrite (the round-3 pipeline).
       gate_fold      assemble_z -> SE MLP -> the gate scale rides the
