@@ -8,8 +8,9 @@ masquerade as a config delta (round-4 verdict: bench spread tripled to
 Usage:
     python tools/ladder_r5.py [config ...]
 
-where each config is "name=pipeline,elu_fold" e.g.
+where each config is "name=pipeline,elu_fold[,smax]" e.g.
     gate_z=gate_z,0  gfold=gate_fold,0  gfold_elu=gate_fold,1
+    gfold_w=gate_fold,0,window
 Default: the round-5 candidate set.
 """
 
@@ -54,10 +55,12 @@ def main():
     runs = {}
     for spec in specs:
         name, rest = spec.split("=")
-        pipeline, elu = rest.split(",")
+        parts = rest.split(",")
+        pipeline, elu = parts[0], parts[1]
+        smax = parts[2] if len(parts) > 2 else "slice"
         fwd, params = make_serving_forward(
             model, variables, s2d_stages=(), dtype=jnp.bfloat16,
-            dec_pipeline=pipeline, elu_fold=elu != "0")
+            dec_pipeline=pipeline, elu_fold=elu != "0", smax=smax)
 
         def make(k, fwd=fwd):
             @jax.jit

@@ -40,7 +40,7 @@ STAGES = {
 
 def _kernel(se_ref, kfm_ref, xc_ref, b_ref, skip_any, disp_any,
             out_ref, sum_ref, sbuf, dbuf, sem, *, rh, wbc, sh, sw,
-            cu, cso, cd, cf, elu, sums, xup, dispp):
+            cu, cso, cd, cf, elu, sums, xup, dispp, bf16fold=False):
     i = pl.program_id(0)
     wb_ = pl.program_id(1)
     c0 = wb_ * wbc
@@ -76,15 +76,25 @@ def _kernel(se_ref, kfm_ref, xc_ref, b_ref, skip_any, disp_any,
             out_ref[2 * r:2 * r + 2, :, cso:cso + cu, :] = jnp.stack(
                 rows, axis=0)
         else:
-            out_ref[2 * r:2 * r + 2, :, cso:cso + cu, :] = jnp.broadcast_to(
-                xc_ref[r, 0, 0, 0].astype(dt), (2, 2 * wbc, cu, b))
+            # zeros, not a broadcast of xc_ref[r,0,0,0]: bf16 scalar
+            # vector.extracts crash Mosaic (PERFORMANCE.md gotchas)
+            out_ref[2 * r:2 * r + 2, :, cso:cso + cu, :] = jnp.zeros(
+                (2, 2 * wbc, cu, b), dt)
 
     cp_s.wait()
     acc = jnp.zeros(sum_ref.shape, sum_ref.dtype)
     for r in range(rh):
         up = df._up2_block(sbuf[r:r + 3], fe[r:r + 1], fo[r:r + 1],
                            few, fow, 1, wbc)
-        if cf:
+        if cf and bf16fold:
+            f16 = se_ref[2 * r:2 * r + 2]
+            kb = kfm_ref[...].astype(dt)
+            a16 = f16[:, :, 0:1, :] * kb[0].reshape(1, 1, cso, 1)
+            for ci in range(1, cf):
+                a16 = a16 + f16[:, :, ci:ci + 1, :] * kb[ci].reshape(
+                    1, 1, cso, 1)
+            se = a16.astype(jnp.float32) + up.astype(jnp.float32) + b_ref[...]
+        elif cf:
             se = (df._fm_fold(se_ref[2 * r:2 * r + 2], kfm_ref, cso)
                   + up.astype(jnp.float32) + b_ref[...])
         else:
@@ -168,6 +178,14 @@ def build(variant, se_fm, skip_h, xc, disp_h, bias, kfm):
     sh = np.float32(h2_ - 1) / np.float32(h - 1)
     sw = np.float32(w2 - 1) / np.float32(w - 1)
 
+    # pad48 variants: pad the cat tensor's channel dim to the next sublane
+    # multiple (44 -> 48) — misaligned 44-channel tiles force partial-tile
+    # RMW on every store; the pad is exact for the consumer (zero input
+    # channels of the iconv are a no-op)
+    if variant.startswith("pad48"):
+        ccat = -(-ccat // 8) * 8
+        variant = variant[6:] or "full"
+
     it = se_fm.dtype.itemsize
     per_cell = (
         2 * (2 * ccat * b * it + 2 * cso * b * it + 2 * cu * b * it)
@@ -178,7 +196,9 @@ def build(variant, se_fm, skip_h, xc, disp_h, bias, kfm):
     wbc = wb // 2
 
     flags = dict(elu=True, sums=True, xup=True, dispp=True)
-    if variant == "noelu":
+    if variant == "bf16fold":
+        flags["bf16fold"] = True
+    elif variant == "noelu":
         flags["elu"] = False
     elif variant == "nosum":
         flags["sums"] = False
@@ -196,7 +216,10 @@ def build(variant, se_fm, skip_h, xc, disp_h, bias, kfm):
         kern = functools.partial(_kernel, rh=rh, wbc=wbc, sh=sh, sw=sw,
                                  cu=cu, cso=cso, cd=cd, cf=cf, **flags)
 
-    def run():
+    # operands returned alongside run and passed as jit ARGUMENTS — closing
+    # over them would embed ~GB literal constants in the serialized HLO and
+    # break the remote-compile tunnel (broken pipe)
+    def run(se_t, kfm_in, xc_t, bias2, skip_t, disp_t):
         return pl.pallas_call(
             kern,
             grid=(h2 // rh, w // wb),
@@ -230,9 +253,10 @@ def build(variant, se_fm, skip_h, xc, disp_h, bias, kfm):
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=df._VMEM_LIMIT),
-        )(se_t, kfm_in, xc_t, bias.reshape(cso, 1).astype(jnp.float32),
-          skip_t, disp_t)
-    return run, (rh, wb)
+        )(se_t, kfm_in, xc_t, bias2, skip_t, disp_t)
+    operands = (se_t, kfm_in, xc_t,
+                bias.reshape(cso, 1).astype(jnp.float32), skip_t, disp_t)
+    return run, operands, (rh, wb)
 
 
 def main():
@@ -269,22 +293,42 @@ def main():
         print(f"stage {s}: {H}x{W} Cso={cso} Cu={cu} cf={cf} (batch {B})",
               flush=True)
         for v in variants:
-            run, (rh, wb) = build(v, se_fm, skip_h, xc, disp, bias, kfm)
+            # "blk:RHxWB" entries time the FULL kernel under a block-shape
+            # override (UMT_FUSED_BLOCKS, read by df._pick_blocks)
+            if v.startswith("blk:"):
+                os.environ["UMT_FUSED_BLOCKS"] = v[4:].replace("x", ",")
+                vv = "full"
+            else:
+                os.environ.pop("UMT_FUSED_BLOCKS", None)
+                vv = v
+            try:
+                run, operands, (rh, wb) = build(
+                    vv, se_fm, skip_h, xc, disp, bias, kfm)
+            except Exception as e:
+                print(f"  {v:12s} BUILD FAIL: {type(e).__name__}", flush=True)
+                continue
 
             # time n async dispatches, block once at the end: the queue
             # stays full so per-call tunnel latency hides; copy/bare give
             # the in-harness byte floor for calibration
-            f = jax.jit(lambda: run()[0][0, 0, 0, 0])
-            jax.block_until_ready(f())
+            f = jax.jit(lambda *ops: run(*ops)[0][0, 0, 0, 0])
+            try:
+                float(f(*operands))
+            except Exception as e:
+                print(f"  {v:12s} COMPILE FAIL: {type(e).__name__}",
+                      flush=True)
+                continue
             best = float("inf")
             for _ in range(reps):
                 n = 8
                 t0 = time.perf_counter()
                 for _ in range(n):
-                    out = f()
-                jax.block_until_ready(out)
+                    out = f(*operands)
+                # scalar fetch: block_until_ready is not a completion
+                # barrier through the tunnel
+                float(out)
                 best = min(best, (time.perf_counter() - t0) / n)
-            print(f"  {v:8s} rh={rh} wb={wb}  {best*1e3:7.2f} ms",
+            print(f"  {v:12s} rh={rh} wb={wb}  {best*1e3:7.2f} ms",
                   flush=True)
 
 

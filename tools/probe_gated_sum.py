@@ -1,8 +1,13 @@
 #!/usr/bin/env python3
 """Microbenchmark the encoder gated input sum at enc0/enc1 production
-shapes: the XLA mul-add chain (what serving emits today) vs the Pallas
-one-pass kernel (ops/pallas/gated_sum.py), and the grouped-softmax
-reduce_window vs strided-slice formulations (budget findings 5/6).
+shapes (the XLA mul-add chain serving emits — one fusion reading k maps),
+and the grouped-softmax reduce_window vs strided-slice formulations
+(budget findings 5/6).
+
+History: a Pallas one-pass gated-sum kernel existed and was measured here
+(round 5, batch 128 bf16): enc0-k4 xla 2.731 ms vs pallas 3.017; enc1-k3
+xla 1.197 vs pallas 1.084 (within noise).  No win — deleted; the XLA
+fusion is already a single bandwidth-bound pass.
 
 Chained-K methodology (perturb input with previous output so XLA cannot
 CSE the passes); reports ms/pass = slope between K and 2K loops.
@@ -23,7 +28,6 @@ from jax import lax
 
 jax.config.update("jax_default_matmul_precision", "bfloat16")
 
-from uncertainty_model_tpu.ops.pallas.gated_sum import gated_sum
 
 
 def timed(make, k1=None, k2=None, reps=5):
@@ -38,16 +42,24 @@ def timed(make, k1=None, k2=None, reps=5):
     f1, f2 = jax.jit(make(k1)), jax.jit(make(k2))
     a = jnp.zeros((), jnp.bfloat16)
     for f in (f1, f2):
-        jax.block_until_ready(f(a))
+        # float() scalar fetch: on the tunneled chip block_until_ready is
+        # NOT a completion barrier (it returned ~0 ms slopes)
+        float(f(a, *timed.operands))
     ts = []
     for f in (f1, f2):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(a))
+            float(f(a, *timed.operands))
             best = min(best, time.perf_counter() - t0)
         ts.append(best)
     return (ts[1] - ts[0]) / (k2 - k1) * 1e3
+
+
+# big operands are passed as jit ARGUMENTS, never closed over: a closed-over
+# device array becomes a literal constant in the serialized HLO, and the
+# ~270 MB maps here blow the remote-compile tunnel's payload (broken pipe)
+timed.operands = ()
 
 
 def main():
@@ -64,27 +76,18 @@ def main():
         g = jnp.linspace(0.3, 0.9, k, dtype=jnp.float32)
 
         def make_xla(kk):
-            def run(eps):
-                y = [x + eps for x in xs]
+            def run(eps, g, *xs):
                 def body(i, y0):
-                    acc = y[0] * g[0].astype(y[0].dtype) + y0 * 0
+                    acc = xs[0] * g[0].astype(y0.dtype) + y0 * eps
                     for j in range(1, k):
-                        acc = acc + y[j] * g[j].astype(y[j].dtype)
+                        acc = acc + xs[j] * g[j].astype(y0.dtype)
                     return acc
                 out = lax.fori_loop(0, kk, body, xs[0])
                 return out[0, 0, 0, 0]
             return run
 
-        def make_pl(kk):
-            def run(eps):
-                def body(i, y0):
-                    return gated_sum(g, [xs[0] + y0 * 0 + eps] + xs[1:])
-                out = lax.fori_loop(0, kk, body, xs[0])
-                return out[0, 0, 0, 0]
-            return run
-
-        print(f"{name}: xla {timed(make_xla):7.3f} ms   "
-              f"pallas {timed(make_pl):7.3f} ms", flush=True)
+        timed.operands = (g,) + tuple(xs)
+        print(f"{name}: xla {timed(make_xla):7.3f} ms", flush=True)
 
     # grouped softmax formulations at enc0/enc1 shapes (group = c/heads)
     import functools as ft
@@ -114,9 +117,9 @@ def main():
 
         def mk(fn):
             def make(kk):
-                def run(eps):
+                def run(eps, v0):
                     def body(i, y0):
-                        e, inv = fn(v0 + y0 * 0 + eps)
+                        e, inv = fn(v0 + y0 * eps)
                         return e * jnp.repeat(inv.astype(e.dtype), group,
                                               axis=-1)
                     out = lax.fori_loop(0, kk, body, v0)
@@ -124,6 +127,7 @@ def main():
                 return run
             return make
 
+        timed.operands = (v0,)
         print(f"{name}: reduce_window {timed(mk(rw)):7.3f} ms   "
               f"strided-slice {timed(mk(sl)):7.3f} ms", flush=True)
 

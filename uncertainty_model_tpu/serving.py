@@ -54,7 +54,6 @@ from .ops.s2d import (
     s2d_out_stride2_conv_kernel,
 )
 from .ops.pallas.decoder_fused import assemble, assemble_z, gate_z, se_squeeze
-from .ops.pallas.gated_sum import gated_sum
 
 _DN = ("NHWC", "HWIO", "NHWC")
 _BN_EPS = 1e-5
@@ -134,7 +133,7 @@ class _StageSpec(NamedTuple):
     channels: int = 0      # original (non-s2d) out_channels
     conv_backend: str = "pallas"  # interior conv impl: pallas | lax
     attn_native: bool = False  # s2d stage: depth_to_space before attention
-    gated_sum: str = "xla"  # node input gating: xla mul-add chain | pallas
+    smax: str = "slice"  # grouped-softmax reductions: slice trees | window
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +157,7 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
                          s2d_conv_backend="pallas", fused_stages=(2, 3, 4),
                          s2d_attention="s2d", decoder_backend="fused",
                          dec_pipeline=None, dec_fold=None, elu_fold=None,
-                         gated_sum_backend=None):
+                         smax=None):
     """Fold a trained model's variables into the serving parameter tree.
 
     Returns ``(specs, params)``: ``specs`` is static (closed over by the
@@ -189,10 +188,10 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
 
     ``dec_pipeline`` ("gate_z" | "gate_fold" | "squeeze_first"),
     ``dec_fold`` (in-kernel SE fm fold where cf <= 8), ``elu_fold`` (iconv
-    ELU folded into its consumers' conv pieces) and ``gated_sum_backend``
-    ("xla" | "pallas", encoder node gating) are resolved HERE, at build
+    ELU folded into its consumers' conv pieces) and ``smax`` ("slice" |
+    "window", grouped-softmax reductions) are resolved HERE, at build
     time, from the UMT_DEC_PIPELINE / UMT_DEC_FOLD / UMT_ELU_FOLD /
-    UMT_GATED_SUM environment defaults — flipping the env after the first
+    UMT_SMAX environment defaults — flipping the env after the first
     compile has no effect and the built pipeline is inspectable in the
     returned specs (advisor round-4 finding).  See
     _decoder_stage_apply_fused for what each pipeline does.
@@ -207,8 +206,10 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
         dec_fold = os.environ.get("UMT_DEC_FOLD", "1") != "0"
     if elu_fold is None:
         elu_fold = os.environ.get("UMT_ELU_FOLD", "0") != "0"
-    if gated_sum_backend is None:
-        gated_sum_backend = os.environ.get("UMT_GATED_SUM", "xla")
+    if smax is None:
+        smax = os.environ.get("UMT_SMAX", "slice")
+    if smax not in ("slice", "window"):
+        raise ValueError(f"unknown smax {smax!r}")
     if dec_pipeline not in ("gate_z", "gate_fold", "squeeze_first"):
         raise ValueError(f"unknown dec_pipeline {dec_pipeline!r}")
     p, s = variables["params"], variables["batch_stats"]
@@ -259,8 +260,7 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
         enc_specs.append(_StageSpec(graph=graph, heads=heads, s2d=use_s2d,
                                     s2d_in=s2d_in, channels=out_ch,
                                     conv_backend=s2d_conv_backend,
-                                    attn_native=attn_native,
-                                    gated_sum=gated_sum_backend))
+                                    attn_native=attn_native, smax=smax))
         enc_params.append({"nodes": nodes, "attention": attn})
         prev_s2d = use_s2d and not attn_native
 
@@ -368,7 +368,7 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
 # ---------------------------------------------------------------------------
 
 
-def _grouped_softmax_unnorm(v, group):
+def _grouped_softmax_unnorm(v, group, formulation="slice"):
     """Grouped softmax split into ``(e, inv)`` with the normalization NOT
     applied: ``softmax == e * repeat(inv, group)``.  Channel-window
     reduce_windows instead of a 5-D head-split reshape (a head split
@@ -388,20 +388,31 @@ def _grouped_softmax_unnorm(v, group):
     parity path keeps full f32 reductions (tree order — reduce_window's
     reduction order is unspecified anyway and tests pin rtol).
 
-    Round 4: the reduce_windows are strided-slice max/sum trees instead —
-    channel-window reduce_window lowered to a ~4x-off-floor loop (budget
-    finding 6: 5 ms vs ~1 across enc0/enc1); ``group`` strided slices of
-    the sublane dim fuse into ONE pass over ``v``/``e``."""
-    cols = [v[..., g::group] for g in range(group)]  # element g of each group
-    m = functools.reduce(jnp.maximum, cols)
-    e = jnp.exp(v - jnp.repeat(m, group, axis=-1))
-    s = functools.reduce(jnp.add, [e[..., g::group] for g in range(group)])
+    Round 4 switched the reduce_windows to strided-slice max/sum trees
+    hoping to fix budget finding 6 (window reductions 5 ms vs ~1 floor
+    across enc0/enc1); the round-5 chip probe (tools/probe_gated_sum.py,
+    smax family) measured the slice trees WORSE in isolation — strided
+    channel slices walk a non-minor dim — so the formulation is a
+    build-time choice (``smax``: "slice" | "window", env UMT_SMAX) and the
+    default follows the round-5 end-to-end ladder."""
+    if formulation == "window":
+        neg_inf = jnp.asarray(-jnp.inf, v.dtype)
+        m = lax.reduce_window(v, neg_inf, lax.max,
+                              (1, 1, 1, group), (1, 1, 1, group), "VALID")
+        e = jnp.exp(v - jnp.repeat(m, group, axis=-1))
+        s = lax.reduce_window(e, jnp.asarray(0.0, v.dtype), lax.add,
+                              (1, 1, 1, group), (1, 1, 1, group), "VALID")
+    else:
+        cols = [v[..., g::group] for g in range(group)]  # elt g of each group
+        m = functools.reduce(jnp.maximum, cols)
+        e = jnp.exp(v - jnp.repeat(m, group, axis=-1))
+        s = functools.reduce(jnp.add, [e[..., g::group] for g in range(group)])
     if v.dtype == jnp.float32:
         return e, 1.0 / s
     return e, (1.0 / s.astype(jnp.float32)).astype(v.dtype)
 
 
-def _attention_apply(prm, heads, x):
+def _attention_apply(prm, heads, x, smax="slice"):
     """EfficientAttention (reference model/layers/attention.py) on folded
     params.
 
@@ -433,7 +444,8 @@ def _attention_apply(prm, heads, x):
     ke = jnp.exp(kp - km)
     ks = jnp.sum(ke, axis=(1, 2), dtype=jnp.float32)           # (B, C)
 
-    qe, qinv = _grouped_softmax_unnorm(proj("queries"), c // heads)
+    qe, qinv = _grouped_softmax_unnorm(proj("queries"), c // heads,
+                                       formulation=smax)
     values = proj("values")
 
     context = jnp.einsum("bxyk,bxyv->bkv", ke, values)
@@ -466,7 +478,7 @@ def _softmax_tokens_s2d(v, c):
     return e * (1.0 / st)[:, None, None, :].astype(v.dtype)
 
 
-def _attention_s2d(prm, heads, c, x):
+def _attention_s2d(prm, heads, c, x, smax="slice"):
     """EfficientAttention computed entirely in the s2d domain (kernels are
     pre-transformed to block-diagonal form at build time).
 
@@ -487,7 +499,8 @@ def _attention_s2d(prm, heads, c, x):
     # groups exactly (output s2d channel u = p*c+v is in group
     # u // (c//heads) = p*heads + head(v)), so the queries normalizer
     # folds past the attended contraction just as in _attention_apply
-    qe, qinv = _grouped_softmax_unnorm(proj("queries"), c // heads)
+    qe, qinv = _grouped_softmax_unnorm(proj("queries"), c // heads,
+                                       formulation=smax)
     values = proj("values")
 
     full = jnp.einsum("bxyu,bxyw->buw", keys, values)          # (B, 4C, 4C)
@@ -592,8 +605,9 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
         out = out / len(graph.out_nodes)
         if spec.attn_native:
             return _attention_apply(prm["attention"], spec.heads,
-                                    depth_to_space(out))
-        return _attention_s2d(prm["attention"], spec.heads, spec.channels, out)
+                                    depth_to_space(out), smax=spec.smax)
+        return _attention_s2d(prm["attention"], spec.heads, spec.channels,
+                              out, smax=spec.smax)
 
     results = {}
     for nid in graph.in_nodes:
@@ -626,12 +640,14 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
                         "WS/K5 graph); use the flax path for exotic stages "
                         "(it carries the reference's resize alignment, "
                         "encoder.py:92-113).")
-            if spec.gated_sum == "pallas":
-                h = gated_sum(gates, inputs)
-            else:
-                h = gates[0] * inputs[0]
-                for gi, inp in enumerate(inputs[1:], start=1):
-                    h = h + gates[gi] * inp
+            # XLA emits this chain as ONE fusion reading the k maps and
+            # writing one (verified in the optimized HLO); a Pallas
+            # one-pass kernel was built and measured SLOWER on chip
+            # (enc0-k4 batch 128: 3.02 ms vs 2.73 xla; enc1-k3 within
+            # noise) — deleted in round 5, see docs/PERFORMANCE.md.
+            h = gates[0] * inputs[0]
+            for gi, inp in enumerate(inputs[1:], start=1):
+                h = h + gates[gi] * inp
         else:
             h = inputs[0]
         results[node.id] = jax.nn.elu(
@@ -641,7 +657,8 @@ def _encoder_stage_apply(prm, spec: _StageSpec, x):
     for nid in graph.out_nodes:
         out = results[nid] if out is None else out + results[nid]
     out = out / len(graph.out_nodes)
-    return _attention_apply(prm["attention"], spec.heads, out)
+    return _attention_apply(prm["attention"], spec.heads, out,
+                            smax=spec.smax)
 
 
 def _se_apply(prm, x):
@@ -800,7 +817,7 @@ def make_serving_forward(model, variables, s2d_stages=(0, 1),
                          s2d_conv_backend="pallas", fused_stages=(2, 3, 4),
                          s2d_attention="s2d", decoder_backend="fused",
                          dec_pipeline=None, dec_fold=None, elu_fold=None,
-                         gated_sum_backend=None):
+                         smax=None):
     """Returns ``(forward, params)`` where ``forward(params, x, disp_scale=1.0)``
     computes the full-resolution 4-channel [l_disp, r_disp, l_unc, r_unc]
     map (the reference's eval output, model/decoder.py:59-62)."""
@@ -809,7 +826,7 @@ def make_serving_forward(model, variables, s2d_stages=(0, 1),
         s2d_conv_backend=s2d_conv_backend, fused_stages=fused_stages,
         s2d_attention=s2d_attention, decoder_backend=decoder_backend,
         dec_pipeline=dec_pipeline, dec_fold=dec_fold, elu_fold=elu_fold,
-        gated_sum_backend=gated_sum_backend,
+        smax=smax,
     )
 
     def forward(params, x, disp_scale=1.0):
