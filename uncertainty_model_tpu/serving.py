@@ -133,7 +133,7 @@ class _StageSpec(NamedTuple):
     channels: int = 0      # original (non-s2d) out_channels
     conv_backend: str = "pallas"  # interior conv impl: pallas | lax
     attn_native: bool = False  # s2d stage: depth_to_space before attention
-    smax: str = "slice"  # grouped-softmax reductions: slice trees | window
+    smax: str = "window"  # grouped-softmax reductions: window | slice trees
 
 
 # ---------------------------------------------------------------------------
@@ -207,8 +207,12 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
     if elu_fold is None:
         elu_fold = os.environ.get("UMT_ELU_FOLD", "0") != "0"
     if smax is None:
-        smax = os.environ.get("UMT_SMAX", "slice")
-    if smax not in ("slice", "window"):
+        # round-5 interleaved ladder: gate_fold+window 113.30 ms / 1129.8
+        # fps vs gate_fold+slice 118.42 / 1080.9 — window wins end-to-end,
+        # agreeing with the isolation probe (probe_gated_sum.py smax
+        # family: slice trees walk a non-minor dim).
+        smax = os.environ.get("UMT_SMAX", "window")
+    if smax not in ("slice", "window", "nomax"):
         raise ValueError(f"unknown smax {smax!r}")
     if dec_pipeline not in ("gate_z", "gate_fold", "squeeze_first"):
         raise ValueError(f"unknown dec_pipeline {dec_pipeline!r}")
@@ -368,7 +372,7 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
 # ---------------------------------------------------------------------------
 
 
-def _grouped_softmax_unnorm(v, group, formulation="slice"):
+def _grouped_softmax_unnorm(v, group, formulation="window"):
     """Grouped softmax split into ``(e, inv)`` with the normalization NOT
     applied: ``softmax == e * repeat(inv, group)``.  Channel-window
     reduce_windows instead of a 5-D head-split reshape (a head split
@@ -393,8 +397,30 @@ def _grouped_softmax_unnorm(v, group, formulation="slice"):
     across enc0/enc1); the round-5 chip probe (tools/probe_gated_sum.py,
     smax family) measured the slice trees WORSE in isolation — strided
     channel slices walk a non-minor dim — so the formulation is a
-    build-time choice (``smax``: "slice" | "window", env UMT_SMAX) and the
-    default follows the round-5 end-to-end ladder."""
+    build-time choice (``smax``: "window" | "slice" | "nomax", UMT_SMAX)
+    and the default follows the round-5 end-to-end ladder.
+
+    "nomax" drops the max subtraction entirely: softmax(v) ==
+    exp(v)/sum(exp(v)) exactly, and the subtraction exists only to bound
+    exp's argument — but bfloat16 has float32's full exponent range, so
+    exp(v) is range-safe for |v| < 88 (conv outputs here are O(10)), and
+    the relative rounding of exp/sum is magnitude-independent in both
+    dtypes.  The payoff: ``exp(v)`` is a pure elementwise op that rides
+    the queries conv's OUTPUT fusion (the max formulations force v to
+    materialise), and the group sums become a tiny 0/1-indicator 1x1 conv
+    on the MXU — both reduce_window passes disappear."""
+    if formulation == "nomax":
+        e = jnp.exp(v)
+        c = v.shape[-1]
+        heads = c // group
+        ind = jnp.asarray(
+            (jnp.arange(c)[:, None] // group) == jnp.arange(heads)[None, :],
+            v.dtype).reshape(1, 1, c, heads)
+        s = lax.conv_general_dilated(e, ind, (1, 1), "VALID",
+                                     dimension_numbers=_DN)
+        if v.dtype == jnp.float32:
+            return e, 1.0 / s
+        return e, (1.0 / s.astype(jnp.float32)).astype(v.dtype)
     if formulation == "window":
         neg_inf = jnp.asarray(-jnp.inf, v.dtype)
         m = lax.reduce_window(v, neg_inf, lax.max,
@@ -412,7 +438,7 @@ def _grouped_softmax_unnorm(v, group, formulation="slice"):
     return e, (1.0 / s.astype(jnp.float32)).astype(v.dtype)
 
 
-def _attention_apply(prm, heads, x, smax="slice"):
+def _attention_apply(prm, heads, x, smax="window"):
     """EfficientAttention (reference model/layers/attention.py) on folded
     params.
 
@@ -440,8 +466,12 @@ def _attention_apply(prm, heads, x, smax="slice"):
     # max in input dtype (exact), token sum in f32 (same policy as
     # _softmax), normalizer deferred to the contracted context
     kp = proj("keys")
-    km = jnp.max(kp, axis=(1, 2), keepdims=True)
-    ke = jnp.exp(kp - km)
+    if smax == "nomax":
+        ke = jnp.exp(kp)   # rides the keys conv's output fusion; see
+        # _grouped_softmax_unnorm for why dropping the max is safe here
+    else:
+        km = jnp.max(kp, axis=(1, 2), keepdims=True)
+        ke = jnp.exp(kp - km)
     ks = jnp.sum(ke, axis=(1, 2), dtype=jnp.float32)           # (B, C)
 
     qe, qinv = _grouped_softmax_unnorm(proj("queries"), c // heads,
@@ -478,7 +508,7 @@ def _softmax_tokens_s2d(v, c):
     return e * (1.0 / st)[:, None, None, :].astype(v.dtype)
 
 
-def _attention_s2d(prm, heads, c, x, smax="slice"):
+def _attention_s2d(prm, heads, c, x, smax="window"):
     """EfficientAttention computed entirely in the s2d domain (kernels are
     pre-transformed to block-diagonal form at build time).
 
