@@ -99,7 +99,11 @@ def main():
     # f32 (reference precision, train/train.py:112-129) and mixed bf16
     # (bf16 module compute, f32 master params/losses — the --precision
     # bfloat16 CLI path, cli/main.py:98-101)
-    for label, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+    # PREC=bf16 skips the f32 leg (batch-32 f32 OOMs HBM: the full-res
+    # f32 loss stack's temps exceed the 16 GB chip)
+    precs = {"f32": ("f32", None), "bf16": ("bf16", jnp.bfloat16)}
+    wanted = os.environ.get("PREC", "f32,bf16").split(",")
+    for label, dtype in (precs[w] for w in wanted):
         model = RandomlyConnectedModel.from_config(**cfg["model"], dtype=dtype)
         trainer = Trainer(model, loss_cfg)
         state = trainer.init_state(jax.random.PRNGKey(0), (1, 256, 512, 3))
@@ -122,7 +126,7 @@ def main():
             float(metrics["disp_loss"])  # completion barrier (scalar fetch)
             ts.append(time.perf_counter() - t0)
         best = min(ts)
-        print(f"train step {label} b8: {best*1e3:.1f} ms -> "
+        print(f"train step {label} b{B}: {best*1e3:.1f} ms -> "
               f"{B/(best-overhead):.1f} img/s (overhead-corrected)", flush=True)
 
 

@@ -133,7 +133,7 @@ class _StageSpec(NamedTuple):
     channels: int = 0      # original (non-s2d) out_channels
     conv_backend: str = "pallas"  # interior conv impl: pallas | lax
     attn_native: bool = False  # s2d stage: depth_to_space before attention
-    smax: str = "window"  # grouped-softmax reductions: window | slice trees
+    smax: str = "nomax"  # grouped softmax: nomax | window | slice
 
 
 # ---------------------------------------------------------------------------
@@ -207,11 +207,13 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
     if elu_fold is None:
         elu_fold = os.environ.get("UMT_ELU_FOLD", "0") != "0"
     if smax is None:
-        # round-5 interleaved ladder: gate_fold+window 113.30 ms / 1129.8
-        # fps vs gate_fold+slice 118.42 / 1080.9 — window wins end-to-end,
-        # agreeing with the isolation probe (probe_gated_sum.py smax
-        # family: slice trees walk a non-minor dim).
-        smax = os.environ.get("UMT_SMAX", "window")
+        # round-5 interleaved ladders: slice 118.42 ms / 1080.9 fps ->
+        # window 113.46 / 1128.1 (reduce_window beats the round-4 slice
+        # trees, agreeing with the isolation probe) -> nomax 103.65 /
+        # 1235.0 (+9.5%, spread ~1.5%): dropping the max subtraction lets
+        # exp ride the projection convs' output fusions and turns the
+        # group sums into an MXU indicator conv.
+        smax = os.environ.get("UMT_SMAX", "nomax")
     if smax not in ("slice", "window", "nomax"):
         raise ValueError(f"unknown smax {smax!r}")
     if dec_pipeline not in ("gate_z", "gate_fold", "squeeze_first"):
@@ -372,7 +374,7 @@ def build_serving_params(model, variables, s2d_stages=(0, 1), dtype=jnp.bfloat16
 # ---------------------------------------------------------------------------
 
 
-def _grouped_softmax_unnorm(v, group, formulation="window"):
+def _grouped_softmax_unnorm(v, group, formulation="nomax"):
     """Grouped softmax split into ``(e, inv)`` with the normalization NOT
     applied: ``softmax == e * repeat(inv, group)``.  Channel-window
     reduce_windows instead of a 5-D head-split reshape (a head split
@@ -438,7 +440,7 @@ def _grouped_softmax_unnorm(v, group, formulation="window"):
     return e, (1.0 / s.astype(jnp.float32)).astype(v.dtype)
 
 
-def _attention_apply(prm, heads, x, smax="window"):
+def _attention_apply(prm, heads, x, smax="nomax"):
     """EfficientAttention (reference model/layers/attention.py) on folded
     params.
 
@@ -508,7 +510,7 @@ def _softmax_tokens_s2d(v, c):
     return e * (1.0 / st)[:, None, None, :].astype(v.dtype)
 
 
-def _attention_s2d(prm, heads, c, x, smax="window"):
+def _attention_s2d(prm, heads, c, x, smax="nomax"):
     """EfficientAttention computed entirely in the s2d domain (kernels are
     pre-transformed to block-diagonal form at build time).
 
