@@ -8,9 +8,9 @@ masquerade as a config delta (round-4 verdict: bench spread tripled to
 Usage:
     python tools/ladder_r5.py [config ...]
 
-where each config is "name=pipeline,elu_fold[,smax]" e.g.
+where each config is "name=pipeline,elu_fold[,smax[,fused_stages]]" e.g.
     gate_z=gate_z,0  gfold=gate_fold,0  gfold_elu=gate_fold,1
-    gfold_w=gate_fold,0,window
+    gfold_w=gate_fold,0,window  f1234=gate_fold,0,nomax,1234
 Default: the round-5 candidate set.
 """
 
@@ -57,10 +57,13 @@ def main():
         name, rest = spec.split("=")
         parts = rest.split(",")
         pipeline, elu = parts[0], parts[1]
-        smax = parts[2] if len(parts) > 2 else "slice"
+        smax = parts[2] if len(parts) > 2 else None
+        fstages = (tuple(int(c) for c in parts[3]) if len(parts) > 3
+                   else (2, 3, 4))
         fwd, params = make_serving_forward(
             model, variables, s2d_stages=(), dtype=jnp.bfloat16,
-            dec_pipeline=pipeline, elu_fold=elu != "0", smax=smax)
+            dec_pipeline=pipeline, elu_fold=elu != "0", smax=smax,
+            fused_stages=fstages)
 
         def make(k, fwd=fwd):
             @jax.jit

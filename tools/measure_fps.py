@@ -8,7 +8,11 @@ on the previous pass's output (a negligible elementwise perturbation), so
 the chain cannot be collapsed; throughput is the slope between two loop
 lengths, cancelling dispatch/tunnel overhead.
 
-Usage: python tools/measure_fps.py [batch ...] [--dtype=f32]
+Measures the FLAX eval path (model.apply) by default — NOT the serving
+path bench.py reports (1235 vs 852 fps at batch 128, round 5); pass
+--serving for the production serving forward with build defaults.
+
+Usage: python tools/measure_fps.py [batch ...] [--dtype=f32] [--serving]
 """
 
 from __future__ import annotations
@@ -48,8 +52,20 @@ def main():
             variables,
         )
 
-    def apply_fn(variables, x):
-        return model.apply(variables, x, disp_scale=1.0)[0]
+    if "--serving" in sys.argv:
+        from uncertainty_model_tpu.serving import make_serving_forward
+        model_f32 = RandomlyConnectedModel.from_config(**config["model"])
+        v32 = model_f32.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 256, 512, 3)), disp_scale=1.0)
+        fwd, variables = make_serving_forward(
+            model_f32, v32, s2d_stages=(),
+            dtype=None if dtype == jnp.float32 else dtype)
+
+        def apply_fn(variables, x):
+            return fwd(variables, x)
+    else:
+        def apply_fn(variables, x):
+            return model.apply(variables, x, disp_scale=1.0)[0]
 
     for batch in batches:
         sec = measure(apply_fn, variables, batch)
