@@ -123,6 +123,24 @@ class TestServingParity:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("fstages", [(1, 2, 3, 4), (0, 1, 2, 3, 4)])
+    def test_extended_fused_stages_equivalent(self, trained_variables,
+                                              fstages):
+        """The fused-glue decoder supports every stage, not just the
+        production (2,3,4) set (round-5 ladder: extending is
+        perf-neutral, but the plumbing must stay exact — dec0 has no
+        disparity to concat and dec1's skip handle is another fused
+        stage's cat tensor)."""
+        model, variables = trained_variables
+        x = jax.random.uniform(jax.random.PRNGKey(23), (2, *TINY_INPUT, 3))
+        fwd_d, p_d = make_serving_forward(
+            model, variables, s2d_stages=(), dtype=None, fused_stages=())
+        fwd_f, p_f = make_serving_forward(
+            model, variables, s2d_stages=(), dtype=None, fused_stages=fstages)
+        np.testing.assert_allclose(
+            np.asarray(fwd_d(p_d, x, 0.7)), np.asarray(fwd_f(p_f, x, 0.7)),
+            rtol=1e-4, atol=1e-5)
+
     @pytest.mark.parametrize("formulation", ["slice", "nomax"])
     def test_smax_formulations_equivalent(self, trained_variables,
                                           formulation):
